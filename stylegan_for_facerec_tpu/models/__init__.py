@@ -1,0 +1,16 @@
+from . import heads, irse, stylegan2_ada
+from .heads import (AdaCos, AmSoftmax, ArcFace, CosFace, CurricularFace,
+                    HEAD_REGISTRY, SoftmaxHead, SphereFace, build_head)
+from .irse import (Backbone, BottleneckIR, IR_50, IR_101, IR_152, IR_SE_50,
+                   IR_SE_101, IR_SE_152, SEModule, get_blocks, l2_norm)
+from .stylegan2_ada import (FullyConnectedLayer, Generator, MappingNetwork,
+                            SynthesisNetwork)
+
+__all__ = [
+    "heads", "irse", "stylegan2_ada", "AdaCos", "AmSoftmax", "ArcFace",
+    "CosFace", "CurricularFace", "HEAD_REGISTRY", "SoftmaxHead",
+    "SphereFace", "build_head", "Backbone", "BottleneckIR", "IR_50",
+    "IR_101", "IR_152", "IR_SE_50", "IR_SE_101", "IR_SE_152", "SEModule",
+    "get_blocks", "l2_norm", "FullyConnectedLayer", "Generator",
+    "MappingNetwork", "SynthesisNetwork",
+]

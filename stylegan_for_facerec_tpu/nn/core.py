@@ -101,12 +101,14 @@ class Sequential(Layer):
         return params, state
 
     def apply(self, params, state, x, ctx):
+        # Invariant (all layers): apply returns new state with the SAME tree
+        # structure as the input state, so the caller can swap it in under jit.
         new_state = {}
         for i, lyr in enumerate(self.layers):
             p = params.get(str(i), {})
             s = state.get(str(i), {})
             x, ns = lyr.apply(p, s, x, ctx)
-            if ns:
+            if s or ns:
                 new_state[str(i)] = ns
         return x, new_state
 

@@ -169,7 +169,7 @@ class BatchNorm(Layer):
         else:
             mean = state["mean"]
             var = state["var"]
-            new_state = {}
+            new_state = dict(state)  # unchanged, but structure is preserved
         inv = lax.rsqrt(var + self.eps)
         scale = inv
         shift = -mean * inv

@@ -1,0 +1,209 @@
+"""torch checkpoint -> JAX pytree converter.
+
+Needed day-1 for pretrained-weight parity (SURVEY.md §7 build order #1):
+stage-2 checkpoints initialize the stage-3 backbone
+(``/root/reference/backbone/restyle_psp.py:419-437``), and all golden-output
+parity tests convert torch weights into our trees.
+
+The converter walks the *layer definition tree* (static objects), so each
+layer class declares its own torch tensor transforms:
+
+  * ``Conv2d``      : OIHW -> HWIO transpose
+  * ``Linear``      : (out,in) -> (in,out) transpose; Linears directly after
+                      a Flatten of an NHWC map additionally permute the
+                      flattened input axis (C,H,W) -> (H,W,C)
+  * ``BatchNorm``   : weight/bias -> params, running_mean/var -> state
+  * ``FullyConnectedLayer`` (equalized): torch layout kept
+  * synthesis layers: conv weights transposed, ``noise_const`` -> state,
+                      prologue ``const`` CHW -> HWC
+
+Works directly on ``torch.load(...)['state_dict']``-style flat dicts whose
+keys line up with our param-tree paths (guaranteed by construction: our
+trees mirror the reference module names).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nn import (BatchNorm, Conv2d, Layer, Linear, PReLU, Sequential)
+from ..models import stylegan2_ada as ada
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def iter_children(layer: Layer) -> Dict[str, Layer]:
+    if isinstance(layer, Sequential):
+        return {str(i): l for i, l in enumerate(layer.layers)}
+    if hasattr(layer, "_children"):
+        return layer._children()
+    return {}
+
+
+def _join(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+
+def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
+               flatten_info: Optional[Mapping[str, Tuple[int, int, int]]]
+               = None, strict: bool = True):
+    """Build (params, state) for ``layer`` from torch state-dict ``sd``.
+
+    ``flatten_info`` maps param-tree paths of Linear layers that consume a
+    flattened NHWC map to their (H, W, C) so the input axis is permuted
+    (e.g. the IR-SE output layer ``output_layer.3`` -> (7, 7, 512)).
+    """
+    flatten_info = flatten_info or {}
+
+    def get(key):
+        if key not in sd:
+            if strict:
+                raise KeyError(f"missing torch key: {key}")
+            return None
+        return _np(sd[key])
+
+    def rec(layer, prefix):
+        params, state = {}, {}
+
+        if isinstance(layer, Conv2d):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            if layer.use_bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, Linear):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                if prefix in flatten_info:
+                    h, wd, c = flatten_info[prefix]
+                    o = w.shape[0]
+                    w = w.reshape(o, c, h, wd).transpose(2, 3, 1, 0)
+                    w = w.reshape(h * wd * c, o)
+                else:
+                    w = w.T
+                params["weight"] = jnp.asarray(w)
+            if layer.use_bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, BatchNorm):
+            for name in ("weight", "bias"):
+                v = get(_join(prefix, name))
+                if v is not None:
+                    params[name] = jnp.asarray(v)
+            m = get(_join(prefix, "running_mean"))
+            v = get(_join(prefix, "running_var"))
+            if m is not None:
+                state["mean"] = jnp.asarray(m)
+            if v is not None:
+                state["var"] = jnp.asarray(v)
+            return params, state
+
+        if isinstance(layer, PReLU):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(w)
+            return params, state
+
+        if isinstance(layer, ada.FullyConnectedLayer):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(w)   # torch layout (out, in)
+            if layer.bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, (ada.SynthesisLayer,)):
+            params, state = rec_children(layer, prefix)
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            for name in ("bias", "noise_strength"):
+                v = get(_join(prefix, name))
+                if v is not None:
+                    params[name] = jnp.asarray(v)
+            nc = get(_join(prefix, "noise_const"))
+            if nc is not None:
+                state["noise_const"] = jnp.asarray(nc)
+            return params, state
+
+        if isinstance(layer, ada.ToRGBLayer):
+            params, state = rec_children(layer, prefix)
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            b = get(_join(prefix, "bias"))
+            if b is not None:
+                params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, ada.EqualizedConv2d):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            if layer.bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, ada.SynthesisPrologue):
+            params, state = rec_children(layer, prefix)
+            c = get(_join(prefix, "const"))
+            if c is not None:
+                params["const"] = jnp.asarray(np.transpose(c, (1, 2, 0)))
+            return params, state
+
+        if isinstance(layer, ada.MappingNetwork):
+            params, state = rec_children(layer, prefix)
+            w_avg = get(_join(prefix, "w_avg")) if layer.w_avg_beta else None
+            if w_avg is not None:
+                state["w_avg"] = jnp.asarray(w_avg)
+            return params, state
+
+        # generic container (Backbone, SEModule, blocks, Generator, ...)
+        return rec_children(layer, prefix)
+
+    def rec_children(layer, prefix):
+        params, state = {}, {}
+        for name, child in iter_children(layer).items():
+            p, s = rec(child, _join(prefix, name))
+            if p:
+                params[name] = p
+            if s:
+                state[name] = s
+        return params, state
+
+    return rec(layer, prefix)
+
+
+def head_params_from_torch(sd: Mapping[str, "object"]) -> dict:
+    """Margin-head weights: torch (C, D) == our 'oi' layout, no transpose;
+    Am_softmax ``kernel`` is (D, C), also kept as-is."""
+    out = {}
+    for k in ("weight", "bias", "kernel"):
+        if k in sd:
+            out[k] = jnp.asarray(_np(sd[k]))
+    return out
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Thin wrapper to load a torch .pt/.pth on CPU (torch is a host-side
+    dependency only; nothing torch touches the TPU)."""
+    import torch
+    return torch.load(path, map_location="cpu")
