@@ -1,4 +1,8 @@
-from . import heads, irse, stylegan2_ada
+from . import heads, irse, psp, stylegan2, stylegan2_ada
+from .psp import (BackboneEncoder, BackboneEncoderDiffHead,
+                  GradualStyleBlock, PSp, PSpFaceRec, n_styles_for)
+from .stylegan2 import Discriminator
+from .stylegan2 import Generator as GeneratorRosinality
 from .heads import (AdaCos, AmSoftmax, ArcFace, CosFace, CurricularFace,
                     HEAD_REGISTRY, SoftmaxHead, SphereFace, build_head)
 from .irse import (Backbone, BottleneckIR, IR_50, IR_101, IR_152, IR_SE_50,
@@ -7,7 +11,10 @@ from .stylegan2_ada import (FullyConnectedLayer, Generator, MappingNetwork,
                             SynthesisNetwork)
 
 __all__ = [
-    "heads", "irse", "stylegan2_ada", "AdaCos", "AmSoftmax", "ArcFace",
+    "heads", "irse", "psp", "stylegan2", "stylegan2_ada", "BackboneEncoder",
+    "BackboneEncoderDiffHead", "GradualStyleBlock", "PSp", "PSpFaceRec",
+    "n_styles_for", "Discriminator", "GeneratorRosinality",
+    "AdaCos", "AmSoftmax", "ArcFace",
     "CosFace", "CurricularFace", "HEAD_REGISTRY", "SoftmaxHead",
     "SphereFace", "build_head", "Backbone", "BottleneckIR", "IR_50",
     "IR_101", "IR_152", "IR_SE_50", "IR_SE_101", "IR_SE_152", "SEModule",

@@ -30,6 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..nn import (BatchNorm, Conv2d, Layer, Linear, PReLU, Sequential)
+from ..models import stylegan2 as sg2
 from ..models import stylegan2_ada as ada
 
 
@@ -174,6 +175,79 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
             w_avg = get(_join(prefix, "w_avg")) if layer.w_avg_beta else None
             if w_avg is not None:
                 state["w_avg"] = jnp.asarray(w_avg)
+            return params, state
+
+        if isinstance(layer, sg2.EqualLinear):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(w)   # torch layout (out, in)
+            if layer.bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, sg2.EqualConv2d):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            if layer.bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
+        if isinstance(layer, sg2.ModulatedConv2d):
+            params, state = rec_children(layer, prefix)
+            w = get(_join(prefix, "weight"))     # (1, O, I, k, k)
+            if w is not None:
+                params["weight"] = jnp.asarray(
+                    np.transpose(w[0], (2, 3, 1, 0)))
+            return params, state
+
+        if isinstance(layer, sg2.NoiseInjection):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(w)
+            return params, state
+
+        if isinstance(layer, sg2.StyledConv):
+            params, state = rec_children(layer, prefix)
+            b = get(_join(prefix, "activate.bias"))
+            if b is not None:
+                params["activate"] = {"bias": jnp.asarray(b)}
+            return params, state
+
+        if isinstance(layer, sg2.ToRGB):
+            params, state = rec_children(layer, prefix)
+            b = get(_join(prefix, "bias"))       # (1, 3, 1, 1)
+            if b is not None:
+                params["bias"] = jnp.asarray(b.reshape(-1))
+            return params, state
+
+        if isinstance(layer, sg2.ConvLayer):
+            params, state = rec_children(layer, prefix)
+            if layer.activate and layer.bias:
+                act_idx = 2 if layer.downsample else 1
+                b = get(_join(prefix, f"{act_idx}.bias"))
+                if b is not None:
+                    params[str(act_idx)] = {"bias": jnp.asarray(b)}
+            return params, state
+
+        if isinstance(layer, sg2.Generator):
+            params, state = rec_children(layer, prefix)
+            c = get(_join(prefix, "input.input"))   # (1, C, 4, 4)
+            if c is not None:
+                params["input"] = {"input": jnp.asarray(
+                    np.transpose(c, (0, 2, 3, 1)))}
+            noises = {}
+            for li in range(layer.num_layers):
+                nz = get(_join(prefix, f"noises.noise_{li}"))
+                if nz is not None:
+                    noises[f"noise_{li}"] = jnp.asarray(
+                        np.transpose(nz, (0, 2, 3, 1)))
+            if noises:
+                state["noises"] = noises
             return params, state
 
         # generic container (Backbone, SEModule, blocks, Generator, ...)
