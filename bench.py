@@ -1,0 +1,112 @@
+"""Benchmark entry point — prints ONE JSON line.
+
+Primary metric: StyleGAN2-ADA 256x256 batch synthesis throughput on one
+chip (BASELINE.md headline: >= 5,000 imgs/sec on a v5p-8, i.e. 625
+imgs/sec/chip). Secondary metrics ride along in "extras".
+
+Timing methodology: the axon TPU tunnel has ~30 ms per-call round-trip
+latency and ``block_until_ready`` does not synchronize through it, so each
+benchmark runs its iteration loop ON DEVICE via ``lax.scan`` inside a
+single jit, syncs once with a scalar readback, and reports the difference
+between a long and a short scan (dispatch/readback latency cancels).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# first compile through the axon tunnel is minutes; cache it across runs
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def scan_time_per_iter(make_step, carry_init, short=2, long=12):
+    """Device seconds per iteration of make_step, measured as
+    (T(long) - T(short)) / (long - short) with one scalar sync each."""
+
+    def runner(n):
+        @jax.jit
+        def run(carry):
+            def body(c, _):
+                return make_step(c), ()
+            c, _ = jax.lax.scan(body, carry, None, length=n)
+            leaf = jax.tree_util.tree_leaves(c)[0]
+            return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
+        r = run(carry_init)
+        _ = np.asarray(r)        # compile + sync
+        t0 = time.perf_counter()
+        r = run(carry_init)
+        _ = np.asarray(r)
+        return time.perf_counter() - t0
+
+    t_short = runner(short)
+    t_long = runner(long)
+    return max((t_long - t_short) / (long - short), 1e-9)
+
+
+def main():
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.models import irse, stylegan2_ada
+
+    rng = np.random.RandomState(0)
+    dtype = jnp.bfloat16
+
+    # ---- StyleGAN2-ADA 256 synthesis ------------------------------------
+    g = stylegan2_ada.Generator(img_resolution=256)
+    gp, gs = g.init(jax.random.key(0))
+    gp = nn.cast_floats(gp, dtype)
+    gs = nn.cast_floats(gs, dtype)
+    bs_g = 32
+    key = jax.random.key(1)
+
+    def synth_step(z):
+        img, _ = g.apply(gp, gs, z, nn.Ctx(train=False, rng=key),
+                         noise_mode="random")
+        # derive next z from the image to chain iterations
+        return z + 1e-6 * jnp.mean(img, axis=(1, 2))[:, :3].sum() \
+            * jnp.ones_like(z)
+
+    z0 = jnp.asarray(rng.randn(bs_g, 512), dtype)
+    dt = scan_time_per_iter(synth_step, z0)
+    synth_ips = bs_g / dt
+
+    # ---- IR-SE-50 embeddings --------------------------------------------
+    m = irse.IR_SE_50(112)
+    mp, ms = m.init(jax.random.key(2))
+    mp = nn.cast_floats(mp, dtype)
+    ms = nn.cast_floats(ms, dtype)
+    bs_e = 128
+
+    def embed_step(x):
+        e, _ = m.apply(mp, ms, x, nn.Ctx(train=False))
+        return x + 1e-6 * jnp.mean(e) * jnp.ones_like(x)
+
+    x0 = jnp.asarray(rng.randn(bs_e, 112, 112, 3), dtype)
+    dt_e = scan_time_per_iter(embed_step, x0)
+    embed_ips = bs_e / dt_e
+
+    per_chip_target = 5000.0 / 8.0  # BASELINE.md: 5k imgs/s on v5p-8
+    result = {
+        "metric": "stylegan2_ada_256_synthesis",
+        "value": round(synth_ips, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(synth_ips / per_chip_target, 3),
+        "extras": {
+            "ir_se_50_embed_imgs_per_sec": round(embed_ips, 1),
+            "synthesis_batch": bs_g,
+            "embed_batch": bs_e,
+            "dtype": "bfloat16",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Stage-3 face-recognition trainer (the reference's main entry point,
+``/root/reference/train.py:21-421``), rebuilt as a single jitted SPMD train
+step over a (data, model) mesh.
+
+Maps the reference's pieces onto TPU idioms:
+  * DataParallel scatter/gather (``train.py:219-222``) -> batch sharded
+    over the 'data' mesh axis; gradient all-reduce inserted by XLA.
+  * Hand-chunked model-parallel head (``head/metrics.py:104-113``) ->
+    head weight sharded (class dim) over 'model'; the margin + focal-CE
+    runs on the ('data','model') logit block layout, with cross-shard
+    max/sum collectives generated from the sharding annotations.
+  * warmup + /1.5 stage LR decay (``util/utils.py:184-196``) -> Stage3Schedule.
+  * frozen-backbone epochs (``train.py:263-274``) -> gradient masks.
+  * BatchNorm running stats + SGD momentum -> explicit state threaded
+    through the step (no hidden mutation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses.focal import focal_loss, softmax_cross_entropy, topk_accuracy
+from ..models.heads import arcface_margin, cosface_margin
+from ..nn import Ctx, Layer
+from ..parallel import mesh as mesh_lib
+from . import optim
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage3Config:
+    """Mirrors ``configs/config_BUPT_IR_50_AfrAsian.py:7-56``."""
+
+    emb_size: int = 512
+    num_classes: int = 28000
+    head: str = "ArcFace"            # train.py:178-181 HEAD_DICT
+    loss: str = "Focal"              # train.py:183-186 LOSS_DICT
+    arcface_s: float = 64.0
+    margin: float = 0.50
+    lr: float = 0.03
+    momentum: float = 0.9
+    weight_decay: float = 2e-3
+    batch_size: int = 100
+    num_epochs: int = 100
+    stages: Sequence[int] = (20, 25, 30, 35, 40, 45, 50, 55, 60, 65)
+    warmup_batches: int = 0
+    freeze_backbone_epochs: int = 3
+    sync_bn: bool = False
+
+
+class Stage3Trainer:
+    """Builds the jitted train/eval steps for (backbone, head) Layer pair.
+
+    The backbone maps images -> (B, emb) embeddings; the head owns a
+    (num_classes, emb) weight. ``margin_fn(cosine, one_hot)`` applies the
+    margin on the (possibly sharded) cosine block.
+    """
+
+    def __init__(self, backbone: Layer, cfg: Stage3Config,
+                 mesh: Optional[Mesh] = None,
+                 steps_per_epoch: int = 1000):
+        self.backbone = backbone
+        self.cfg = cfg
+        self.mesh = mesh
+        self.schedule = optim.Stage3Schedule(
+            base_lr=cfg.lr, warmup_batches=cfg.warmup_batches,
+            steps_per_epoch=steps_per_epoch, stages=tuple(cfg.stages))
+        self.decay_mask_fn = optim.batchnorm_decay_mask(backbone)
+        self.tx = optim.sgd_torch(
+            self.schedule, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay, decay_mask=self._full_decay_mask)
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_eval_step = jax.jit(self._embed_step)
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key: jax.Array):
+        kb, kh = jax.random.split(key)
+        b_params, b_state = self.backbone.init(kb)
+        head_w = jax.nn.initializers.glorot_uniform()(
+            kh, (self.cfg.num_classes, self.cfg.emb_size), jnp.float32)
+        params = {"backbone": b_params, "head": {"weight": head_w}}
+        state = {"backbone": b_state}
+        opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            params = mesh_lib.shard_params(self.mesh, params)
+            state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+            # momentum buffers mirror param paths, so the same placement rule
+            # class-shards the head-weight momentum too
+            opt_state = mesh_lib.shard_params(self.mesh, opt_state)
+        return params, state, opt_state
+
+    def _full_decay_mask(self, params):
+        return {"backbone": self.decay_mask_fn(params["backbone"]),
+                "head": jax.tree_util.tree_map(lambda _: True,
+                                               params["head"])}
+
+    # -- math --------------------------------------------------------------
+
+    def _margin_logits(self, head_w, features, labels):
+        cfg = self.cfg
+        f = features / jnp.maximum(
+            jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+        w = head_w / jnp.maximum(
+            jnp.linalg.norm(head_w, axis=-1, keepdims=True), 1e-12)
+        cosine = jnp.dot(f, w.T, preferred_element_type=jnp.float32)
+        if self.mesh is not None:
+            cosine = jax.lax.with_sharding_constraint(
+                cosine, mesh_lib.logits_sharding(self.mesh))
+        one_hot = jax.nn.one_hot(labels, cfg.num_classes,
+                                 dtype=cosine.dtype)
+        if cfg.head == "ArcFace":
+            return arcface_margin(cosine, one_hot, cfg.arcface_s, cfg.margin)
+        if cfg.head == "CosFace":
+            return cosface_margin(cosine, one_hot, cfg.arcface_s, cfg.margin)
+        if cfg.head == "Softmax":
+            return cosine * cfg.arcface_s
+        raise ValueError(cfg.head)
+
+    def _loss_fn(self, params, state, images, labels, rng):
+        ctx = Ctx(train=True, rng=rng)
+        features, new_bstate = self.backbone.apply(
+            params["backbone"], state["backbone"], images, ctx)
+        logits = self._margin_logits(params["head"]["weight"],
+                                     features.astype(jnp.float32), labels)
+        if self.cfg.loss == "Focal":
+            loss = focal_loss(logits, labels)
+        else:
+            loss = softmax_cross_entropy(logits, labels)
+        acc = topk_accuracy(logits, labels, 1)
+        return loss, ({"backbone": new_bstate}, acc)
+
+    def _train_step(self, params, state, opt_state, images, labels, rng,
+                    step, grad_mask):
+        (loss, (new_state, acc)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(params, state, images, labels, rng)
+        if grad_mask is not None:
+            grads = optim.apply_grad_mask(grads, grad_mask)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates)
+        metrics = {"loss": loss, "top1": acc, "lr": self.schedule(step)}
+        return new_params, new_state, new_opt_state, metrics
+
+    def _embed_step(self, params, state, images):
+        ctx = Ctx(train=False)
+        features, _ = self.backbone.apply(params["backbone"],
+                                          state["backbone"], images, ctx)
+        return features
+
+    # -- public ------------------------------------------------------------
+
+    def train_step(self, params, state, opt_state, images, labels, rng,
+                   step, grad_mask=None):
+        if self.mesh is not None:
+            bs = mesh_lib.batch_sharding(self.mesh)
+            images = jax.device_put(images, bs)
+            labels = jax.device_put(labels, bs)
+        return self._jit_train_step(params, state, opt_state, images,
+                                    labels, rng, step, grad_mask)
+
+    def embed(self, params, state, images):
+        return self._jit_eval_step(params, state, images)
+
+    def freeze_mask(self, params, frozen: bool):
+        """Gradient mask freezing encoder body in the first
+        FREEZE_BACKBONE_EPOCHS (train.py:263-274: input/output layers stay
+        trainable)."""
+        if not frozen:
+            return jax.tree_util.tree_map(
+                lambda _: jnp.ones((), jnp.float32), params)
+        # freeze every backbone 'body' subtree (works for Backbone and
+        # PSpFaceRec param layouts)
+        prefixes = [("backbone", "body"),
+                    ("backbone", "encoder", "body")]
+        return optim.freeze_mask_for(None, prefixes, params)

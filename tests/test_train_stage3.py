@@ -1,0 +1,163 @@
+"""Stage-3 trainer: sharded train step on the 8-device mesh, optimizer
+parity vs torch SGD, LR schedule, focal loss parity, freeze masks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.losses import focal_loss, topk_accuracy
+from stylegan_for_facerec_tpu.models import irse
+from stylegan_for_facerec_tpu.parallel import make_mesh
+from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer, optim
+
+
+class TinyBackbone(irse.Backbone):
+    def _children(self):
+        ch = super()._children()
+        blocks = [(64, 64, 2), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+        ch["body"] = nn.Sequential(
+            *[irse.BottleneckIR(i, d, s, se=True) for i, d, s in blocks])
+        return ch
+
+
+def make_trainer(mesh=None, **cfg_kw):
+    backbone = TinyBackbone(input_size=32, num_layers=50, mode="ir_se",
+                            emb_size=64)
+    cfg = Stage3Config(emb_size=64, num_classes=64, batch_size=16, **cfg_kw)
+    return Stage3Trainer(backbone, cfg, mesh=mesh, steps_per_epoch=10)
+
+
+def test_focal_loss_matches_reference(rng):
+    """loss/focal.py:17-21: focal transform applied to the MEAN CE."""
+    logits = rng.randn(8, 20).astype(np.float32) * 3
+    labels = rng.randint(0, 20, 8)
+    ce = torch.nn.CrossEntropyLoss()
+    logp = ce(torch.tensor(logits), torch.tensor(labels))
+    want = ((1 - torch.exp(-logp)) ** 2 * logp).item()
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sgd_matches_torch(rng):
+    w0 = rng.randn(4, 3).astype(np.float32)
+    grads = [rng.randn(4, 3).astype(np.float32) for _ in range(3)]
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=0.01)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    tx = optim.sgd_torch(0.1, momentum=0.9, weight_decay=0.01)
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_schedule():
+    s = optim.Stage3Schedule(base_lr=0.03, warmup_batches=5,
+                             steps_per_epoch=10, stages=(2, 4))
+    assert float(s(0)) == pytest.approx(0.03 * 1 / 5)
+    assert float(s(4)) == pytest.approx(0.03)
+    assert float(s(10)) == pytest.approx(0.03)        # epoch 1: no decay
+    assert float(s(20)) == pytest.approx(0.03 / 1.5)  # epoch 2: one decay
+    assert float(s(45)) == pytest.approx(0.03 / 1.5 ** 2)
+
+
+def test_bn_decay_mask():
+    backbone = TinyBackbone(input_size=32, num_layers=50, emb_size=64)
+    params, _ = backbone.init(jax.random.key(0))
+    mask = optim.batchnorm_decay_mask(backbone)(params)
+    # input_layer.0 = conv (decayed), input_layer.1 = BN (exempt)
+    assert mask["input_layer"]["0"]["weight"] is True
+    assert mask["input_layer"]["1"]["weight"] is False
+    assert mask["output_layer"]["3"]["weight"] is True   # Linear
+    assert mask["output_layer"]["4"]["weight"] is False  # BN1d
+
+
+def test_train_step_single_device(rng):
+    trainer = make_trainer(freeze_backbone_epochs=0)
+    params, state, opt_state = trainer.init(jax.random.key(0))
+    images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 64, 16))
+    mask = trainer.freeze_mask(params, frozen=False)
+    p0 = np.asarray(params["head"]["weight"]).copy()
+    params, state, opt_state, metrics = trainer.train_step(
+        params, state, opt_state, images, labels, jax.random.key(1),
+        jnp.zeros((), jnp.int32), mask)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(params["head"]["weight"]), p0)
+    # BN stats advanced
+    bn_mean = params and np.asarray(
+        state["backbone"]["input_layer"]["1"]["mean"])
+    assert not np.allclose(bn_mean, 0)
+
+
+def test_train_step_sharded_matches_single(rng, devices):
+    """DP x TP sharded step computes the same loss/updates as single-device
+    (the collectives must be semantics-preserving)."""
+    images = rng.randn(16, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 64, 16)
+
+    t1 = make_trainer(mesh=None, freeze_backbone_epochs=0)
+    p1, s1, o1 = t1.init(jax.random.key(0))
+    m1 = t1.freeze_mask(p1, frozen=False)
+    p1n, _, _, met1 = t1.train_step(p1, s1, o1, jnp.asarray(images),
+                                    jnp.asarray(labels), jax.random.key(1),
+                                    jnp.zeros((), jnp.int32), m1)
+
+    mesh = make_mesh(data=4, model=2)
+    t2 = make_trainer(mesh=mesh, freeze_backbone_epochs=0)
+    with mesh:
+        p2, s2, o2 = t2.init(jax.random.key(0))
+        m2 = t2.freeze_mask(p2, frozen=False)
+        p2n, _, _, met2 = t2.train_step(p2, s2, o2, jnp.asarray(images),
+                                        jnp.asarray(labels),
+                                        jax.random.key(1),
+                                        jnp.zeros((), jnp.int32), m2)
+    np.testing.assert_allclose(float(met1["loss"]), float(met2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1n["head"]["weight"]),
+                               np.asarray(p2n["head"]["weight"]),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_freeze_mask_zeroes_body(rng):
+    trainer = make_trainer(freeze_backbone_epochs=3)
+    params, state, opt_state = trainer.init(jax.random.key(0))
+    mask = trainer.freeze_mask(params, frozen=True)
+    assert float(jax.tree_util.tree_leaves(mask["backbone"]["body"])[0]) == 0
+    assert float(
+        jax.tree_util.tree_leaves(mask["backbone"]["input_layer"])[0]) == 1
+    images = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 64, 8))
+    body_before = jax.tree_util.tree_leaves(params["backbone"]["body"])[0]
+    params2, _, _, _ = trainer.train_step(
+        params, state, opt_state, images, labels, jax.random.key(1),
+        jnp.zeros((), jnp.int32), mask)
+    body_after = jax.tree_util.tree_leaves(params2["backbone"]["body"])[0]
+    np.testing.assert_array_equal(np.asarray(body_before),
+                                  np.asarray(body_after))
+
+
+def test_ranger_runs(rng):
+    tx = optim.ranger(1e-3)
+    params = {"w": jnp.asarray(rng.randn(8, 4).astype(np.float32)),
+              "conv": jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32))}
+    st = tx.init(params)
+    for i in range(8):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+            params)
+        upd, st = tx.update(g, st, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
