@@ -299,7 +299,8 @@ class MaxPool2d(Layer):
         sh, sw = _pair(self.stride if self.stride is not None
                        else self.kernel_size)
         ph, pw = _pair(self.padding)
-        neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+        # -inf init lets JAX recognize this as reduce_window_max (autodiff)
+        neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
                else jnp.iinfo(x.dtype).min)
         y = lax.reduce_window(x, neg, lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
                               [(0, 0), (ph, ph), (pw, pw), (0, 0)])

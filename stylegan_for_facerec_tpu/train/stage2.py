@@ -1,0 +1,198 @@
+"""Stage-2 ReStyle pSp coach — GAN-inversion encoder pretraining.
+
+Parity target: ``/root/reference/restyle-encoder/training/coach_restyle_psp.py``.
+
+Key semantics preserved:
+  * latent_avg estimated from the frozen generator
+    (``coach:46-47`` via ``mean_latent(1e5)``), avg image synthesized,
+    BUPT-cropped [35:223, 30:218] and resized to 112 (``coach:80-82``);
+  * per-batch iterative refinement (``coach:138-180``): iteration 0
+    concatenates (x, avg_image), later iterations (x, detach(y_hat));
+    latent carry detached; per-iteration losses BACKWARDED then a single
+    optimizer step — here the per-iteration losses are summed under one
+    grad (mathematically identical: grads accumulate linearly);
+  * loss = l2*λ + lpips*λ + w_norm*λ + id*λ (``coach:302-332``);
+  * Ranger optimizer on encoder params, decoder frozen (``coach:270-278``).
+
+TPU-first: the whole refinement loop compiles into ONE jitted step
+(unrolled n_iters, static), the generator runs in bf16, and the encoder
+update is a single fused optimizer application.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.psp import PSp
+from ..nn import Ctx
+from ..ops.image import resize_bilinear
+from ..losses.identity import w_norm_loss
+from . import optim
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    """Mirrors TrainOptions (``options/train_options.py:9-78``) and the
+    README stage-2 recipe (l2 1.0, lpips 0.8, others 0,
+    n_iters_per_batch 1, output 128; ``README.md:143-165``)."""
+
+    output_size: int = 128
+    input_nc: int = 6
+    n_iters_per_batch: int = 1
+    l2_lambda: float = 1.0
+    lpips_lambda: float = 0.8
+    w_norm_lambda: float = 0.0
+    id_lambda: float = 0.0
+    moco_lambda: float = 0.0
+    learning_rate: float = 1e-4
+    optim_name: str = "ranger"
+    train_decoder: bool = False
+    target_size: int = 112           # transforms_config: gt resized to 112
+
+
+class Stage2Coach:
+    """Functional coach. Params split: {'encoder','decoder'}; only the
+    encoder (plus decoder when train_decoder) receives updates."""
+
+    def __init__(self, cfg: Stage2Config,
+                 lpips_fn: Optional[Callable] = None,
+                 id_loss_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.model = PSp(output_size=cfg.output_size, input_nc=cfg.input_nc)
+        self.lpips_fn = lpips_fn
+        self.id_loss_fn = id_loss_fn
+        if cfg.optim_name == "ranger":
+            self.tx = optim.ranger(cfg.learning_rate)
+        else:
+            import optax
+            self.tx = optax.adam(cfg.learning_rate)
+        self._jit_train_step = jax.jit(self._train_step)
+
+    # -- setup -------------------------------------------------------------
+
+    def init(self, key):
+        params, state = self.model.init(key)
+        opt_state = self.tx.init(self._trainable(params))
+        return params, state, opt_state
+
+    def _trainable(self, params):
+        if self.cfg.train_decoder:
+            return params
+        return {"encoder": params["encoder"]}
+
+    def _merge(self, params, trainable):
+        out = dict(params)
+        out.update(trainable)
+        return out
+
+    def estimate_latent_avg(self, params, state, key,
+                            n_latent: int = 100_000):
+        """coach:46-47; fills state['latent_avg']."""
+        dec = self.model._children()["decoder"]
+        avg = dec.mean_latent(params["decoder"], state["decoder"], key,
+                              n_latent)
+        new_state = dict(state)
+        new_state["latent_avg"] = avg
+        return new_state
+
+    def make_avg_image(self, params, state, key):
+        """coach:56-88: synthesize from latent_avg, BUPT-crop
+        [35:223, 30:218], resize 112. Returns (112,112,3) in [-1,1]."""
+        codes = state["latent_avg"][None]
+        img, _ = self.model.apply(params, state, (codes, None),
+                                  Ctx(train=False, rng=key),
+                                  randomize_noise=False, input_code=True,
+                                  resize=True)
+        img = img[:, 35:223, 30:218, :]
+        img = resize_bilinear(img, self.cfg.target_size, self.cfg.target_size)
+        return jnp.clip(img[0], -1, 1)
+
+    # -- losses ------------------------------------------------------------
+
+    def _calc_loss(self, y_hat, y, x, latent, latent_avg):
+        cfg = self.cfg
+        loss = jnp.zeros((), jnp.float32)
+        logs = {}
+        if cfg.l2_lambda > 0:
+            l2 = jnp.mean(jnp.square(y_hat - y))
+            logs["loss_l2"] = l2
+            loss += l2 * cfg.l2_lambda
+        if cfg.lpips_lambda > 0 and self.lpips_fn is not None:
+            lp = self.lpips_fn(y_hat, y)
+            logs["loss_lpips"] = lp
+            loss += lp * cfg.lpips_lambda
+        if cfg.w_norm_lambda > 0:
+            wn = w_norm_loss(latent, latent_avg)
+            logs["loss_w_norm"] = wn
+            loss += wn * cfg.w_norm_lambda
+        if cfg.id_lambda > 0 and self.id_loss_fn is not None:
+            idl, sim, _ = self.id_loss_fn(y_hat, y, x)
+            logs["loss_id"] = idl
+            logs["id_improve"] = sim
+            loss += idl * cfg.id_lambda
+        logs["loss"] = loss
+        return loss, logs
+
+    # -- refinement loop ---------------------------------------------------
+
+    def _refinement_losses(self, trainable, params, state, x, y, avg_image,
+                           rng):
+        """coach:138-166: unrolled n_iters_per_batch; returns summed loss
+        (== accumulated per-iter backward) and last-iter outputs."""
+        cfg = self.cfg
+        params = self._merge(params, trainable)
+        ctx = Ctx(train=True, rng=rng)
+        latent_avg = state["latent_avg"]
+
+        y_hat = None
+        latent = None
+        total = jnp.zeros((), jnp.float32)
+        logs = {}
+        for it in range(cfg.n_iters_per_batch):
+            if it == 0:
+                cond = jnp.broadcast_to(avg_image[None], x.shape)
+            else:
+                cond = jax.lax.stop_gradient(y_hat)
+            x_input = jnp.concatenate([x, cond], axis=-1)
+            carry = (None if latent is None
+                     else jax.lax.stop_gradient(latent))
+            (out, latent), _ = self.model.apply(
+                params, state, (x_input, carry), ctx, resize=True,
+                randomize_noise=True, return_latents=True)
+            y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
+            loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg)
+            total = total + loss
+        return total, (y_hat, latent, logs)
+
+    def _train_step(self, trainable, params, state, opt_state, x, y,
+                    avg_image, rng):
+        (loss, (y_hat, latent, logs)), grads = jax.value_and_grad(
+            self._refinement_losses, has_aux=True)(
+                trainable, params, state, x, y, avg_image, rng)
+        updates, new_opt = self.tx.update(grads, opt_state, trainable)
+        new_trainable = jax.tree_util.tree_map(lambda p, u: p + u,
+                                               trainable, updates)
+        return new_trainable, new_opt, loss, logs, y_hat
+
+    # -- public ------------------------------------------------------------
+
+    def train_step(self, params, state, opt_state, x, y, avg_image, rng):
+        """x: (B,112,112,3) source; y: (B,112,112,3) target (both [-1,1]).
+        Returns (new_params, new_opt_state, loss, logs, y_hat)."""
+        trainable = self._trainable(params)
+        new_trainable, new_opt, loss, logs, y_hat = self._jit_train_step(
+            trainable, params, state, opt_state, x, y, avg_image, rng)
+        return (self._merge(params, new_trainable), new_opt, loss, logs,
+                y_hat)
+
+    def validate_batch(self, params, state, x, y, avg_image, rng):
+        """Step-0-style validation (coach:182-214): refinement without
+        grads, returns logs of the final iteration."""
+        loss, (y_hat, latent, logs) = self._refinement_losses(
+            self._trainable(params), params, state, x, y, avg_image, rng)
+        return loss, logs, y_hat

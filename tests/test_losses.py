@@ -1,0 +1,119 @@
+"""LPIPS / identity / w-norm loss parity vs torch oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.losses import (LPIPS, lpips_params_from_torch,
+                                             similarity_loss, w_norm_loss)
+
+
+def to_nchw(x):
+    return np.moveaxis(np.asarray(x), -1, 1)
+
+
+def _torch_alexnet_features():
+    """torchvision alexnet().features layout (the public AlexNet arch the
+    reference taps, networks.py:77-81) built from plain torch prims."""
+    return tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(inplace=True),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(inplace=True),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(inplace=True),
+        tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(inplace=True),
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(inplace=True),
+        tnn.MaxPool2d(3, 2),
+    )
+
+
+def _torch_lpips(features, lin_weights, x, y):
+    """Literal reference math (lpips.py:29-35, networks.py:54-62,
+    utils.py:6-8) composed from torch primitives."""
+    mean = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    std = torch.tensor([.458, .448, .450])[None, :, None, None]
+    taps = [2, 5, 8, 10, 12]
+
+    def norm_act(t):
+        n = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+        return t / (n + 1e-10)
+
+    def feats(t):
+        t = (t - mean) / std
+        out = []
+        for i, layer in enumerate(features, 1):
+            t = layer(t)
+            if i in taps:
+                out.append(norm_act(t))
+        return out
+
+    fx, fy = feats(x), feats(y)
+    res = []
+    for d, w in zip([(a - b) ** 2 for a, b in zip(fx, fy)], lin_weights):
+        r = F.conv2d(d, w)
+        res.append(r.mean((2, 3), True))
+    return (torch.sum(torch.cat(res, 0)) / x.shape[0]).item()
+
+
+def test_lpips_parity(rng):
+    torch.manual_seed(0)
+    tfeat = _torch_alexnet_features().eval()
+    lin_w = [torch.rand(1, c, 1, 1) * 0.1 for c in (64, 192, 384, 256, 256)]
+
+    jm = LPIPS()
+    feat_sd = {f"{i}.{p}": tfeat[int(i)].state_dict()[p]
+               for i in ("0", "3", "6", "8", "10") for p in ("weight",
+                                                             "bias")}
+    lin_sd = {f"{i}.1.weight": w for i, w in enumerate(lin_w)}
+    params = lpips_params_from_torch(feat_sd, lin_sd)
+
+    x = rng.rand(2, 112, 112, 3).astype(np.float32) * 2 - 1
+    y = rng.rand(2, 112, 112, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        want = _torch_lpips(tfeat, lin_w, torch.tensor(to_nchw(x)),
+                            torch.tensor(to_nchw(y)))
+    got, _ = jm.apply(params, {}, (jnp.asarray(x), jnp.asarray(y)),
+                      nn.Ctx())
+    np.testing.assert_allclose(float(got), want, rtol=1e-3, atol=1e-5)
+
+
+def test_w_norm_loss_parity(rng):
+    lat = rng.randn(4, 14, 512).astype(np.float32)
+    avg = rng.randn(14, 512).astype(np.float32)
+    t = torch.tensor(lat) - torch.tensor(avg)
+    want = (torch.sum(t.norm(2, dim=(1, 2))) / 4).item()
+    got = float(w_norm_loss(jnp.asarray(lat), jnp.asarray(avg)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_similarity_loss_semantics(rng):
+    """loss = mean(1 - <f(y_hat), stopgrad(f(y))>) with unit features."""
+    def extract(v):
+        f = v.reshape(v.shape[0], -1)[:, :16]
+        return f / jnp.linalg.norm(f, axis=1, keepdims=True)
+
+    y_hat = jnp.asarray(rng.randn(3, 8, 8, 1).astype(np.float32))
+    loss, imp, logs = similarity_loss(extract, y_hat, y_hat, y_hat)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
+    # identical tensors: diff_target == diff_views -> improvement 0
+    np.testing.assert_allclose(float(imp), 0.0, atol=1e-5)
+
+
+def test_lpips_grad_flows(rng):
+    jm = LPIPS()
+    params, _ = jm.init(jax.random.key(0))
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    def f(x):
+        out, _ = jm.apply(params, {}, (x, y), nn.Ctx())
+        return out
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
