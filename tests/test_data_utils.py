@@ -1,0 +1,138 @@
+"""Data pipeline, config, checkpoint IO tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stylegan_for_facerec_tpu.data import (DataLoader, FacesDataset,
+                                           ImagesDataset, RandAugment,
+                                           device_augment)
+from stylegan_for_facerec_tpu.utils import (CheckpointManager,
+                                            Stage3Options,
+                                            from_reference_stage3,
+                                            load_checkpoint,
+                                            save_checkpoint)
+
+
+@pytest.fixture()
+def faces_root(tmp_path, rng):
+    from PIL import Image
+    root = tmp_path / "faces"
+    for ident in ("African^m.1", "African^m.2", "plain_id"):
+        d = root / ident
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg")
+    # one corrupt file
+    (root / "plain_id" / "broken.jpg").write_bytes(b"not a jpeg")
+    return str(root)
+
+
+def test_faces_dataset_scan(faces_root):
+    ds = FacesDataset(faces_root)
+    assert len(ds) == 10            # 9 good + 1 corrupt
+    # ethnicity prefix stripped -> ids m.1, m.2, plain_id
+    assert ds.n_identities == 3
+    assert ds.id_list == ["m.1", "m.2", "plain_id"]
+    img, label = ds.load(0)
+    assert img.shape == (128, 128, 3)
+    assert -1.0 <= img.min() and img.max() <= 1.0
+
+
+def test_corrupt_file_returns_none(faces_root):
+    ds = FacesDataset(faces_root)
+    broken = [i for i, f in enumerate(ds.filenames) if "broken" in f][0]
+    assert ds.load(broken) is None
+
+
+def test_loader_batches_and_repairs(faces_root):
+    ds = FacesDataset(faces_root)
+    dl = DataLoader(ds, batch_size=4, num_workers=2, seed=1)
+    batches = list(dl)
+    assert len(batches) == 2        # drop_last: 10 // 4
+    for imgs, labels in batches:
+        assert imgs.shape == (4, 128, 128, 3)   # corrupt sample resampled
+        assert labels.shape == (4,)
+        assert np.isfinite(imgs).all()
+
+
+def test_device_augment(rng):
+    x = jnp.asarray(rng.rand(4, 128, 128, 3).astype(np.float32))
+    y = device_augment(jax.random.key(0), x, crop=112)
+    assert y.shape == (4, 112, 112, 3)
+
+
+def test_balanced_weights(faces_root):
+    ds = FacesDataset(faces_root)
+    w = ds.sample_weights_balanced()
+    assert w.shape == (len(ds),)
+    # class with 4 files (plain_id incl. broken) weighted lower than 3-file
+    assert w.min() > 0
+
+
+def test_images_dataset_pairs(tmp_path, rng):
+    from PIL import Image
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(src / f"{i}.jpg")
+    ds = ImagesDataset(str(src), str(src), source_size=112, target_size=112)
+    assert len(ds) == 4
+    a, b = ds[0]
+    assert a.shape == (112, 112, 3) and b.shape == (112, 112, 3)
+
+
+def test_randaugment_runs(rng):
+    aug = RandAugment()
+    img = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+    out = aug(img)
+    assert out.shape == (112, 112, 3)
+    assert out.dtype == np.uint8
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    tree = {"params": {"w": jnp.asarray(rng.randn(4, 3).astype(np.float32)),
+                       "b": jnp.zeros(3)},
+            "step": jnp.asarray(7)}
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, tree, metadata={"epoch": 3})
+    back = load_checkpoint(p, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.asarray(tree["params"]["w"]))
+    assert int(back["step"]) == 7
+    # structure-free restore via pickled treedef
+    back2 = load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(back2["params"]["b"]),
+                                  np.zeros(3))
+
+
+def test_checkpoint_manager_best_and_gc(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "run"), keep=2)
+    for step, metric in [(1, 5.0), (2, 3.0), (3, 4.0)]:
+        mgr.save(step, {"x": jnp.asarray(step)}, metric=metric)
+    assert os.path.exists(str(tmp_path / "run" / "best"))
+    best = load_checkpoint(str(tmp_path / "run" / "best"),
+                           like={"x": jnp.asarray(0)})
+    assert int(best["x"]) == 2      # lowest metric
+    steps = [d for d in os.listdir(str(tmp_path / "run"))
+             if d.startswith("step_")]
+    assert len(steps) == 2          # gc keeps last 2
+
+
+def test_reference_config_conversion():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "refcfg", "/root/reference/configs/config_BUPT_IR_50_baseline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    opts = from_reference_stage3(mod.configurations)
+    assert opts.head == "ArcFace"
+    assert opts.batch_size == 100
+    assert opts.freeze_backbone_epochs == 3
+    assert opts.encoder_checkpoint is None   # the baseline config's point
+    assert len(opts.stages) > 0
