@@ -1,0 +1,262 @@
+"""Stage-1 StyleGAN2-ADA GAN pretraining.
+
+The reference does not vendor a stage-1 trainer — it delegates to the
+external ``stylegan2-ada-lightning`` repo and ships only the config
+(``/root/reference/README.md:118-123``,
+``/root/reference/configs/stage_1_config.yaml``). This module implements
+that training recipe TPU-natively for the shipped generator:
+
+  * non-saturating logistic GAN loss,
+  * lazy R1 gradient penalty on reals (lambda_gp, every
+    ``lazy_gradient_penalty_interval`` steps),
+  * lazy path-length regularization on G (lambda_plp),
+  * ADA: adaptive discriminator augmentation with the r_t = E[sign(D(x))]
+    controller toward ``ada_target`` (pipeline: xflip, 90-degree rotations,
+    integer translation, brightness/contrast — the blit + color subset,
+    batched jnp with per-image Bernoulli(p) gating),
+  * g_ema parameter averaging,
+
+all as jitted G/D alternating steps with explicit state (ada_p, pl_mean,
+ema params).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.stylegan2 import Discriminator
+from ..models.stylegan2_ada import Generator
+from ..nn import Ctx
+from ..utils.config import Stage1Config
+
+
+# ---------------------------------------------------------------------------
+# ADA augmentation pipeline (blit + color subset)
+# ---------------------------------------------------------------------------
+
+def ada_augment(key: jax.Array, x: jax.Array, p: jax.Array) -> jax.Array:
+    """Apply each augmentation with per-image probability p. NHWC."""
+    n = x.shape[0]
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+
+    # x-flip
+    do = jax.random.bernoulli(k1, p, (n, 1, 1, 1))
+    x = jnp.where(do, x[:, :, ::-1, :], x)
+
+    # 90-degree rotations (k in 0..3)
+    do = jax.random.bernoulli(k2, p, (n,))
+    kk = jax.random.randint(k3, (n,), 0, 4)
+    kk = jnp.where(do, kk, 0)
+    rots = jnp.stack([x,
+                      jnp.rot90(x, 1, axes=(1, 2)),
+                      jnp.rot90(x, 2, axes=(1, 2)),
+                      jnp.rot90(x, 3, axes=(1, 2))])
+    x = rots[kk, jnp.arange(n)]
+
+    # integer translation up to 12.5% with zero padding
+    h, w = x.shape[1], x.shape[2]
+    max_t = max(1, int(0.125 * h))
+    do = jax.random.bernoulli(k4, p, (n,))
+    ty = jnp.where(do, jax.random.randint(k5, (n,), -max_t, max_t + 1), 0)
+    tx = jnp.where(do, jax.random.randint(k6, (n,), -max_t, max_t + 1), 0)
+
+    def translate(img, dy, dx):
+        return jax.lax.dynamic_slice(
+            jnp.pad(img, ((max_t, max_t), (max_t, max_t), (0, 0))),
+            (max_t + dy, max_t + dx, 0), img.shape)
+
+    x = jax.vmap(translate)(x, ty, tx)
+
+    # brightness / contrast
+    kb1, kb2, kc1, kc2 = jax.random.split(k7, 4)
+    do_b = jax.random.bernoulli(kb1, p, (n, 1, 1, 1))
+    b = jax.random.normal(kb2, (n, 1, 1, 1)) * 0.2
+    x = jnp.where(do_b, x + b.astype(x.dtype), x)
+    do_c = jax.random.bernoulli(kc1, p, (n, 1, 1, 1))
+    c = jnp.exp2(jax.random.normal(kc2, (n, 1, 1, 1)) * 0.5)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = jnp.where(do_c, (x - mean) * c.astype(x.dtype) + mean, x)
+    return x
+
+
+class Stage1Trainer:
+    """Alternating jitted D/G steps with lazy regularization."""
+
+    def __init__(self, cfg: Stage1Config):
+        self.cfg = cfg
+        self.G = Generator(z_dim=cfg.z_dim, w_dim=cfg.w_dim,
+                           w_num_layers=cfg.num_mapping_layers,
+                           img_resolution=cfg.image_size)
+        self.D = Discriminator(size=cfg.image_size)
+        # ADA-lightning style Adam betas (0.0, 0.99) for GANs
+        self.tx_g = optax.adam(cfg.lr_g, b1=0.0, b2=0.99, eps=1e-8)
+        self.tx_d = optax.adam(cfg.lr_d, b1=0.0, b2=0.99, eps=1e-8)
+        self._jit_d_step = jax.jit(self._d_step,
+                                   static_argnames=("do_r1",))
+        self._jit_g_step = jax.jit(self._g_step,
+                                   static_argnames=("do_plp",))
+
+    def init(self, key):
+        kg, kd = jax.random.split(key)
+        g_params, g_state = self.G.init(kg)
+        d_params, _ = self.D.init(kd)
+        train_state = {
+            "g": g_params, "d": d_params, "g_state": g_state,
+            "g_ema": jax.tree_util.tree_map(jnp.copy, g_params),
+            "opt_g": self.tx_g.init(g_params),
+            "opt_d": self.tx_d.init(d_params),
+            "ada_p": jnp.asarray(self.cfg.ada_start_p, jnp.float32),
+            "rt_accum": jnp.zeros((), jnp.float32),
+            "rt_count": jnp.zeros((), jnp.float32),
+            "pl_mean": jnp.zeros((), jnp.float32),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        return train_state
+
+    # -- D step ------------------------------------------------------------
+
+    def _d_loss(self, d_params, g_params, g_state, reals, z, ada_p, rng,
+                do_r1):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        ctx = Ctx(train=True, rng=k1)
+        fakes, _ = self.G.apply(g_params, g_state, z, ctx,
+                                noise_mode="random")
+        fakes = jax.lax.stop_gradient(fakes)
+        reals_aug = ada_augment(k2, reals, ada_p)
+        fakes_aug = ada_augment(k3, fakes, ada_p)
+        d_real, _ = self.D.apply(d_params, {}, reals_aug, ctx)
+        d_fake, _ = self.D.apply(d_params, {}, fakes_aug, ctx)
+        loss = jnp.mean(jax.nn.softplus(d_fake)) \
+            + jnp.mean(jax.nn.softplus(-d_real))
+        rt = jnp.mean(jnp.sign(d_real))
+
+        if do_r1:
+            def d_sum(x):
+                y, _ = self.D.apply(d_params, {}, x, ctx)
+                return jnp.sum(y)
+            grads = jax.grad(d_sum)(reals_aug)
+            r1 = jnp.mean(jnp.sum(jnp.square(
+                grads.astype(jnp.float32)), axis=(1, 2, 3)))
+            # lazy reg: scale by the interval so the time-average matches
+            loss = loss + (self.cfg.lambda_gp / 2) * r1 \
+                * self.cfg.lazy_gradient_penalty_interval
+        return loss, rt
+
+    def _d_step(self, state, reals, z, rng, do_r1):
+        (loss, rt), grads = jax.value_and_grad(
+            self._d_loss, has_aux=True)(
+                state["d"], state["g"], state["g_state"], reals, z,
+                state["ada_p"], rng, do_r1)
+        updates, new_opt = self.tx_d.update(grads, state["opt_d"],
+                                            state["d"])
+        new_d = jax.tree_util.tree_map(lambda p, u: p + u, state["d"],
+                                       updates)
+        new_state = dict(state)
+        new_state.update(d=new_d, opt_d=new_opt,
+                         rt_accum=state["rt_accum"] + rt,
+                         rt_count=state["rt_count"] + 1)
+        return new_state, {"d_loss": loss, "rt": rt}
+
+    # -- G step ------------------------------------------------------------
+
+    def _g_loss(self, g_params, d_params, g_state, z, ada_p, pl_mean, rng,
+                do_plp):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        ctx = Ctx(train=True, rng=k1)
+        plp = jnp.zeros((), jnp.float32)
+        pl_new = pl_mean
+
+        fakes, new_gs = self.G.apply(g_params, g_state, z, ctx,
+                                     noise_mode="random")
+        fakes_aug = ada_augment(k2, fakes, ada_p)
+        d_fake, _ = self.D.apply(d_params, {}, fakes_aug, ctx)
+        loss = jnp.mean(jax.nn.softplus(-d_fake))
+
+        if do_plp:
+            # path length penalty on a half-size batch of fresh w's
+            zb = z[: max(1, z.shape[0] // 2)]
+            mapping = self.G._children()["mapping"]
+            synthesis = self.G._children()["synthesis"]
+            ws, _ = mapping.apply(g_params["mapping"],
+                                  g_state["mapping"], zb,
+                                  Ctx(train=False))
+
+            def gen_from_ws(ws):
+                ctx2 = Ctx(train=True, rng=k3)
+                img, _ = synthesis.apply(g_params["synthesis"],
+                                         g_state["synthesis"], ws, ctx2,
+                                         noise_mode="random")
+                return img
+
+            img, jvp_fn = jax.vjp(gen_from_ws, ws)
+            noise = jax.random.normal(k3, img.shape, img.dtype) \
+                / jnp.sqrt(img.shape[1] * img.shape[2])
+            (pl_grads,) = jvp_fn(noise)
+            pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(
+                pl_grads.astype(jnp.float32)), axis=2), axis=1))
+            pl_new = pl_mean + 0.01 * (jnp.mean(pl_lengths) - pl_mean)
+            plp = jnp.mean(jnp.square(pl_lengths - pl_new))
+            loss = loss + self.cfg.lambda_plp * plp \
+                * self.cfg.lazy_path_penalty_interval
+        return loss, (new_gs, pl_new, plp)
+
+    def _g_step(self, state, z, rng, do_plp):
+        (loss, (new_gs, pl_new, plp)), grads = jax.value_and_grad(
+            self._g_loss, has_aux=True)(
+                state["g"], state["d"], state["g_state"], z,
+                state["ada_p"], state["pl_mean"], rng, do_plp)
+        updates, new_opt = self.tx_g.update(grads, state["opt_g"],
+                                            state["g"])
+        new_g = jax.tree_util.tree_map(lambda p, u: p + u, state["g"],
+                                       updates)
+        ema = self.cfg.ema_beta
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: ema * e + (1 - ema) * p, state["g_ema"], new_g)
+        new_state = dict(state)
+        new_state.update(g=new_g, opt_g=new_opt, g_state=new_gs,
+                         g_ema=new_ema, pl_mean=pl_new,
+                         step=state["step"] + 1)
+        return new_state, {"g_loss": loss, "plp": plp}
+
+    # -- ADA controller ----------------------------------------------------
+
+    def update_ada(self, state, n_seen_per_interval: int,
+                   ada_kimg: float = 500.0):
+        """Adjust p toward ada_target from the accumulated r_t sign
+        statistic (ADA heuristic); call every ``ada_interval`` D steps."""
+        if self.cfg.ada_fixed:
+            return state
+        rt = state["rt_accum"] / jnp.maximum(state["rt_count"], 1)
+        adjust = jnp.sign(rt - self.cfg.ada_target) \
+            * n_seen_per_interval / (ada_kimg * 1000.0)
+        new_p = jnp.clip(state["ada_p"] + adjust, 0.0, 1.0)
+        new_state = dict(state)
+        new_state.update(ada_p=new_p,
+                         rt_accum=jnp.zeros(()), rt_count=jnp.zeros(()))
+        return new_state
+
+    # -- public ------------------------------------------------------------
+
+    def train_step(self, state, reals, rng):
+        """One full iteration: D step (with lazy R1), G step (with lazy
+        PLP), ADA controller tick."""
+        cfg = self.cfg
+        step = int(state["step"])
+        kd, kg, kz1, kz2 = jax.random.split(rng, 4)
+        z1 = jax.random.normal(kz1, (reals.shape[0], cfg.z_dim))
+        z2 = jax.random.normal(kz2, (reals.shape[0], cfg.z_dim))
+        do_r1 = (step % cfg.lazy_gradient_penalty_interval) == 0
+        do_plp = step >= cfg.lazy_path_penalty_after and \
+            (step % cfg.lazy_path_penalty_interval) == 0
+        state, d_logs = self._jit_d_step(state, reals, z1, kd, do_r1=do_r1)
+        state, g_logs = self._jit_g_step(state, z2, kg, do_plp=do_plp)
+        if step % cfg.ada_interval == 0 and step > 0:
+            state = self.update_ada(
+                state, reals.shape[0] * cfg.ada_interval)
+        return state, {**d_logs, **g_logs, "ada_p": state["ada_p"]}
