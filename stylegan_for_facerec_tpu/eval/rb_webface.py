@@ -1,0 +1,137 @@
+"""RB-WebFace benchmark: per-ethnic-group TPR @ FPR in {1e-3, 1e-4}.
+
+Parity target: ``/root/reference/rb-webface/scripts/test_RB_Webface.py``:
+  * embeddings: resize 128 -> center-crop 112 -> backbone -> L2 norm
+    (:98-150; note: no flip TTA here, unlike perform_val);
+  * FNMR per threshold: fraction of within-group (5 consecutive images per
+    identity) cosine-similarity pairs below the threshold (:153-178);
+  * FMR per threshold: fraction of ALL cross pairs of the negative list
+    above the threshold — upper-triangular i<j pairs (:198-233);
+  * thresholds linspace(0.3, 0.6, 20); TPR@FPR by linear interpolation of
+    the (FPR, FNR) curve (:254, :286-291).
+
+TPU-native redesign: the reference computes the ~(N^2)/2 cosine matrix on
+CPU with joblib-chunked scipy cdist; here similarities are one on-device
+matmul per chunk (embeddings are unit-norm, so cosine sim == dot product),
+and ALL thresholds are counted in the same pass (one O(N^2) sweep instead
+of 20)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ETHNICITIES = ("African", "Asian", "Caucasian", "Indian")
+
+
+def fnmr_counts(pos_emb: np.ndarray, thresholds: np.ndarray,
+                n_names_per_grp: int = 5) -> Tuple[np.ndarray, int]:
+    """Counts of genuine-pair similarities below each threshold.
+    pos_emb: (N, D) unit-normalized, N multiple of the group size."""
+    n, d = pos_emb.shape
+    g = n_names_per_grp
+    n_grp = n // g
+    emb = jnp.asarray(pos_emb[: n_grp * g].reshape(n_grp, g, d))
+    sims = jnp.einsum("gid,gjd->gij", emb, emb)        # (G, g, g)
+    iu, ju = np.triu_indices(g, k=1)
+    pair_sims = np.asarray(sims[:, iu, ju]).reshape(-1)  # 1 - cosine dist
+    thr = np.asarray(thresholds)
+    counts = (pair_sims[None, :] < thr[:, None]).sum(axis=1)
+    return counts, pair_sims.size
+
+
+def fmr_counts(neg_emb: np.ndarray, thresholds: np.ndarray,
+               chunk: int = 2048) -> Tuple[np.ndarray, int]:
+    """Counts of impostor-pair similarities above each threshold over all
+    i<j pairs, chunked on device."""
+    n = neg_emb.shape[0]
+    thr = jnp.asarray(thresholds, jnp.float32)
+    emb = jnp.asarray(neg_emb, jnp.float32)
+
+    @jax.jit
+    def count_chunk(rows, row_start):
+        sims = rows @ emb.T                            # (c, N)
+        c = rows.shape[0]
+        col = jnp.arange(n)[None, :]
+        row = row_start + jnp.arange(c)[:, None]
+        mask = col > row
+        over = sims[None, :, :] > thr[:, None, None]
+        return jnp.sum(over & mask[None], axis=(1, 2)), jnp.sum(mask)
+
+    counts = np.zeros(len(thresholds), np.int64)
+    pairs = 0
+    for i in range(0, n, chunk):
+        rows = emb[i: i + chunk]
+        c_cnt, c_pairs = count_chunk(rows, jnp.asarray(i))
+        counts += np.asarray(c_cnt, np.int64)
+        pairs += int(c_pairs)
+    return counts, pairs
+
+
+def tpr_at_fpr(all_fpr: Sequence[float], all_fnr: Sequence[float],
+               target: float) -> float:
+    """:286-291 — note thresholds ascend => FPR descends, hence [::-1]."""
+    return 1.0 - float(np.interp(target, np.asarray(all_fpr)[::-1],
+                                 np.asarray(all_fnr)[::-1]))
+
+
+def evaluate_group(pos_emb: np.ndarray, neg_emb: np.ndarray,
+                   thresholds: np.ndarray = None,
+                   n_names_per_grp: int = 5) -> Dict[str, float]:
+    if thresholds is None:
+        thresholds = np.linspace(0.3, 0.6, num=20)
+    fnmr_c, n_pos = fnmr_counts(pos_emb, thresholds, n_names_per_grp)
+    fmr_c, n_neg = fmr_counts(neg_emb, thresholds)
+    all_fnr = fnmr_c / n_pos
+    all_fpr = fmr_c / n_neg
+    return {
+        "tpr_at_fpr_1e3": tpr_at_fpr(all_fpr, all_fnr, 1e-3),
+        "tpr_at_fpr_1e4": tpr_at_fpr(all_fpr, all_fnr, 1e-4),
+        "fnr_curve": all_fnr,
+        "fpr_curve": all_fpr,
+        "thresholds": thresholds,
+    }
+
+
+def evaluate_model(embed_fn: Callable, data_dir: str, partition_dir: str,
+                   batch_size: int = 256,
+                   groups: Sequence[str] = ETHNICITIES) -> Dict:
+    """Full harness (:236-293). ``embed_fn``: (B,112,112,3)[-1,1] NHWC ->
+    (B, D) L2-normalized embeddings (build with
+    eval.verify_runner.make_embed_fn(..., tta=False))."""
+    import os
+    from PIL import Image
+
+    def embed_names(names):
+        out = []
+        for i in range(0, len(names), batch_size):
+            batch_names = names[i: i + batch_size]
+            imgs = []
+            for name in batch_names:
+                img = Image.open(os.path.join(data_dir, name))\
+                    .convert("RGB").resize((128, 128), Image.BILINEAR)
+                arr = np.asarray(img, np.float32) / 255.0
+                arr = (arr[8:120, 8:120] - 0.5) / 0.5   # center-crop 112
+                imgs.append(arr)
+            pad = batch_size - len(imgs)
+            if pad:
+                imgs += [np.zeros_like(imgs[0])] * pad
+            emb = np.asarray(embed_fn(jnp.asarray(np.stack(imgs))))
+            out.append(emb[: len(batch_names)])
+        return np.concatenate(out, axis=0)
+
+    results = {}
+    for grp in groups:
+        pos_names = open(os.path.join(
+            partition_dir, f"pos_pairs_samples_{grp}.txt"))\
+            .read().splitlines()
+        neg_names = open(os.path.join(
+            partition_dir, f"neg_pairs_samples_{grp}.txt"))\
+            .read().splitlines()
+        pos_emb = embed_names(pos_names)
+        neg_emb = embed_names(neg_names)
+        results[grp] = evaluate_group(pos_emb, neg_emb)
+    return results

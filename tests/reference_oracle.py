@@ -70,10 +70,20 @@ def install_dep_stubs():
         tvt.functional = types.SimpleNamespace(
             hflip=lambda x: (_ for _ in ()).throw(RuntimeError("stub")))
         tv.transforms = tvt
+        tvd = types.ModuleType("torchvision.datasets")
+        tv.datasets = tvd
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
         sys.modules["torchvision.models.resnet"] = tvr
         sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.datasets"] = tvd
+    for name in ("skimage", "skimage.transform", "turbojpeg", "pandas"):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            sys.modules[name] = types.ModuleType(name)
     if "bcolz" not in sys.modules:
         try:
             import bcolz  # noqa: F401

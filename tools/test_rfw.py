@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""RFW (and LFW-style) verification benchmark CLI — the equivalent of
+``/root/reference/test_RFW.py:12-169``: load a checkpoint, build the
+backbone, run 10-fold verification on every requested benchmark."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True,
+                    help="framework checkpoint dir (utils.checkpoint)")
+    ap.add_argument("--data_root", required=True,
+                    help="dir with packed <name>.npz eval sets")
+    ap.add_argument("--benchmarks", nargs="+",
+                    default=["rfw_African", "rfw_Asian", "rfw_Caucasian",
+                             "rfw_Indian"])
+    ap.add_argument("--backbone", default="pSp")
+    ap.add_argument("--emb_size", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--no_tta", action="store_true")
+    args = ap.parse_args()
+
+    from stylegan_for_facerec_tpu.eval import load_val_pair, perform_val
+    from stylegan_for_facerec_tpu.models import irse, psp
+    from stylegan_for_facerec_tpu.utils.checkpoint import load_checkpoint
+
+    if args.backbone == "pSp":
+        backbone = psp.PSpFaceRec(size=112, emb_size=args.emb_size)
+    else:
+        backbone = getattr(irse, args.backbone)(112,
+                                                emb_size=args.emb_size)
+    tpl_p, tpl_s = backbone.init(jax.random.key(0))
+    ckpt = load_checkpoint(args.checkpoint)
+    params = ckpt["params"].get("backbone", ckpt["params"])
+    state = ckpt["state"].get("backbone", ckpt["state"])
+
+    for bench in args.benchmarks:
+        carray, issame = load_val_pair(os.path.join(args.data_root, bench))
+        acc, thr, _ = perform_val(backbone, params, state, carray, issame,
+                                  batch_size=args.batch_size,
+                                  emb_size=args.emb_size,
+                                  tta=not args.no_tta)
+        print(f"{bench}: accuracy {acc:.4f} best_threshold {thr:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Stage-2 ReStyle pSp encoder training CLI — equivalent of
+``scripts/train_restyle_psp.py`` -> ``Coach(opts).train()``
+(``/root/reference/restyle-encoder/training/coach_restyle_psp.py``)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source_root", required=True)
+    ap.add_argument("--target_root", default=None)
+    ap.add_argument("--exp_dir", required=True)
+    ap.add_argument("--output_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--n_iters_per_batch", type=int, default=1)
+    ap.add_argument("--max_steps", type=int, default=2_500_000)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--lpips_lambda", type=float, default=0.8)
+    ap.add_argument("--l2_lambda", type=float, default=1.0)
+    ap.add_argument("--w_norm_lambda", type=float, default=0.0)
+    ap.add_argument("--stylegan_weights", default=None,
+                    help="torch ADA checkpoint (G.* keys) to load")
+    ap.add_argument("--lpips_weights", default=None,
+                    help="npz with converted LPIPS params")
+    ap.add_argument("--save_interval", type=int, default=1000)
+    args = ap.parse_args()
+
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.data.images_dataset import ImagesDataset
+    from stylegan_for_facerec_tpu.losses import LPIPS
+    from stylegan_for_facerec_tpu.train import Stage2Coach, Stage2Config
+    from stylegan_for_facerec_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint)
+
+    lpips_fn = None
+    if args.lpips_lambda > 0:
+        lp = LPIPS()
+        if args.lpips_weights:
+            lpp = load_checkpoint(args.lpips_weights)
+        else:
+            print("[warn] no --lpips_weights; using random-init LPIPS")
+            lpp, _ = lp.init(jax.random.key(99))
+        lpips_fn = lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0]
+
+    cfg = Stage2Config(output_size=args.output_size,
+                       n_iters_per_batch=args.n_iters_per_batch,
+                       l2_lambda=args.l2_lambda,
+                       lpips_lambda=args.lpips_lambda,
+                       w_norm_lambda=args.w_norm_lambda,
+                       learning_rate=args.learning_rate)
+    coach = Stage2Coach(cfg, lpips_fn=lpips_fn)
+    params, state, opt_state = coach.init(jax.random.key(0))
+
+    if args.stylegan_weights:
+        from stylegan_for_facerec_tpu.utils.torch_convert import (
+            from_torch, load_torch_checkpoint)
+        ckpt = load_torch_checkpoint(args.stylegan_weights)
+        sd = ckpt.get("state_dict", ckpt)
+        g_sd = {k[2:]: v for k, v in sd.items() if k.startswith("G.")}
+        dec = coach.model._children()["decoder"]
+        p_dec, s_dec = from_torch(dec, g_sd, strict=False)
+        params["decoder"] = p_dec
+        state["decoder"] = s_dec
+        print("[init] loaded ADA generator weights")
+
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=100_000)
+    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+    os.makedirs(args.exp_dir, exist_ok=True)
+    np.save(os.path.join(args.exp_dir, "avg_image.npy"),
+            np.asarray(avg_image))
+
+    ds = ImagesDataset(args.source_root,
+                       args.target_root or args.source_root)
+    print(f"[data] {len(ds)} pairs")
+    mgr = CheckpointManager(args.exp_dir)
+
+    step = 0
+    key = jax.random.key(3)
+    while step < args.max_steps:
+        order = np.random.permutation(len(ds))
+        for i in range(0, len(order) - args.batch_size + 1,
+                       args.batch_size):
+            batch = [ds[j] for j in order[i: i + args.batch_size]]
+            x = jnp.asarray(np.stack([b[0] for b in batch]))
+            y = jnp.asarray(np.stack([b[1] for b in batch]))
+            key, k = jax.random.split(key)
+            params, opt_state, loss, logs, _ = coach.train_step(
+                params, state, opt_state, x, y, avg_image, k)
+            if step % 50 == 0:
+                print(f"step {step} " + " ".join(
+                    f"{k2} {float(v):.4f}" for k2, v in logs.items()))
+            if step % args.save_interval == 0 and step > 0:
+                mgr.save(step, {"params": params, "state": state},
+                         metric=float(loss))
+            step += 1
+            if step >= args.max_steps:
+                break
+
+
+if __name__ == "__main__":
+    main()
