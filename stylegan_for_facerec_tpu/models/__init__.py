@@ -1,4 +1,10 @@
-from . import heads, irse, psp, stylegan2, stylegan2_ada
+from . import (attention, efficientnet, ghostnet, heads, irse,
+               mobilefacenet, psp, resnet, stylegan2, stylegan2_ada)
+from .attention import AttentionNet_56, AttentionNet_92, ResidualAttentionNet
+from .efficientnet import EfficientNet, EfficientNetB0
+from .ghostnet import GhostNet
+from .mobilefacenet import MobileFaceNet
+from .resnet import ResNet, ResNet_50, ResNet_101, ResNet_152
 from .psp import (BackboneEncoder, BackboneEncoderDiffHead,
                   GradualStyleBlock, PSp, PSpFaceRec, n_styles_for)
 from .stylegan2 import Discriminator
@@ -11,6 +17,10 @@ from .stylegan2_ada import (FullyConnectedLayer, Generator, MappingNetwork,
                             SynthesisNetwork)
 
 __all__ = [
+    "attention", "efficientnet", "ghostnet", "mobilefacenet", "resnet",
+    "AttentionNet_56", "AttentionNet_92", "ResidualAttentionNet",
+    "EfficientNet", "EfficientNetB0", "GhostNet", "MobileFaceNet",
+    "ResNet", "ResNet_50", "ResNet_101", "ResNet_152",
     "heads", "irse", "psp", "stylegan2", "stylegan2_ada", "BackboneEncoder",
     "BackboneEncoderDiffHead", "GradualStyleBlock", "PSp", "PSpFaceRec",
     "n_styles_for", "Discriminator", "GeneratorRosinality",

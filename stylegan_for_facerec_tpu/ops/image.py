@@ -53,6 +53,34 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return y
 
 
+@functools.lru_cache(maxsize=64)
+def _interp_matrix_align_corners(in_size: int, out_size: int) -> np.ndarray:
+    """align_corners=True variant (torch ``nn.UpsamplingBilinear2d``):
+    src = o * (in-1)/(out-1)."""
+    m = np.zeros((in_size, out_size), dtype=np.float32)
+    scale = (in_size - 1) / max(out_size - 1, 1)
+    for o in range(out_size):
+        src = o * scale
+        lo = int(np.floor(src))
+        frac = src - lo
+        hi = min(lo + 1, in_size - 1)
+        m[lo, o] += 1.0 - frac
+        m[hi, o] += frac
+    return m
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_h: int,
+                                  out_w: int) -> jax.Array:
+    """torch ``nn.UpsamplingBilinear2d`` (align_corners=True), NHWC."""
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_interp_matrix_align_corners(h, out_h), x.dtype)
+    mw = jnp.asarray(_interp_matrix_align_corners(w, out_w), x.dtype)
+    y = jnp.einsum("nhwc,hH->nHwc", x, mh)
+    return jnp.einsum("nHwc,wW->nHWc", y, mw)
+
+
 def hflip(x: jax.Array) -> jax.Array:
     """Horizontal flip (W axis), NHWC."""
     return x[:, :, ::-1, :]

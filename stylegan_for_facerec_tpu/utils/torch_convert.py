@@ -250,6 +250,17 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
                 state["noises"] = noises
             return params, state
 
+        from ..models import efficientnet as effnet
+        if isinstance(layer, effnet.SamePadConv):
+            w = get(_join(prefix, "weight"))
+            if w is not None:
+                params["weight"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            if layer.bias:
+                b = get(_join(prefix, "bias"))
+                if b is not None:
+                    params["bias"] = jnp.asarray(b)
+            return params, state
+
         # generic container (Backbone, SEModule, blocks, Generator, ...)
         return rec_children(layer, prefix)
 

@@ -1,0 +1,111 @@
+"""Backbone zoo parity: MobileFaceNet / ResNet / GhostNet / AttentionNet /
+EfficientNet vs the reference torch implementations with converted weights."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.models import (attention, efficientnet,
+                                             ghostnet, mobilefacenet,
+                                             resnet)
+from stylegan_for_facerec_tpu.utils import torch_convert as tc
+from reference_oracle import ref_import
+
+
+def to_nchw(x):
+    return np.moveaxis(np.asarray(x), -1, 1)
+
+
+def to_nhwc(x):
+    return np.moveaxis(np.asarray(x), 1, -1)
+
+
+def test_mobilefacenet_parity(rng):
+    ref = ref_import("backbone.MobileFaceNets")
+    torch.manual_seed(0)
+    tm = ref.MobileFaceNet(embedding_size=128, out_h=7, out_w=7)
+    tm.eval()
+    jm = mobilefacenet.MobileFaceNet(embedding_size=128)
+    params, state = tc.from_torch(jm, tm.state_dict())
+    x = rng.randn(2, 112, 112, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet50_parity(rng):
+    ref = ref_import("backbone.model_resnet")
+    torch.manual_seed(0)
+    tm = ref.ResNet_50([112, 112])
+    tm.eval()
+    jm = resnet.ResNet_50(112)
+    params, state = tc.from_torch(jm, tm.state_dict())
+    x = rng.randn(1, 112, 112, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_ghostnet_parity(rng):
+    ref = ref_import("backbone.GhostNet")
+    torch.manual_seed(0)
+    tm = ref.GhostNet(width=1.0, feat_dim=128)
+    tm.eval()
+    jm = ghostnet.GhostNet(width=1.0, feat_dim=128)
+    params, state = tc.from_torch(
+        jm, tm.state_dict(), flatten_info={"output_layer.3": (7, 7, 960)})
+    x = rng.randn(1, 112, 112, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_attention_module_parity(rng):
+    ref = ref_import("backbone.AttentionNets")
+    torch.manual_seed(0)
+    tm = ref.AttentionModule_stage3(64, 64, size1=(14, 14))
+    tm.eval()
+    jm = attention.AttentionModule(64, 1)
+    params, state = tc.from_torch(jm, tm.state_dict())
+    x = rng.randn(1, 14, 14, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_attention_net_shapes(rng):
+    jm = attention.AttentionNet_56(feat_dim=64)
+    params, state = jm.init(jax.random.key(0))
+    x = jnp.asarray(rng.randn(1, 112, 112, 3).astype(np.float32))
+    y, _ = jm.apply(params, state, x, nn.Ctx(train=False))
+    assert y.shape == (1, 64)
+
+
+def test_efficientnet_b0_forward(rng):
+    """NOTE: the reference's backbone/EfficientNets.py is corrupted upstream
+    (stray non-code text at line 370 raises SyntaxError on import), so no
+    torch oracle exists; ours follows the canonical lukemelas semantics.
+    Check shapes, scaling math, and train/eval forward."""
+    jm = efficientnet.EfficientNet("b0", feat_dim=128)
+    params, state = jm.init(jax.random.key(0))
+    x = jnp.asarray(rng.randn(2, 112, 112, 3).astype(np.float32))
+    y, new_state = jm.apply(params, state, x, nn.Ctx(train=False))
+    assert y.shape == (2, 128)
+    assert np.isfinite(np.asarray(y)).all()
+    y2, _ = jm.apply(params, state, x,
+                     nn.Ctx(train=True, rng=jax.random.key(1)))
+    assert np.isfinite(np.asarray(y2)).all()
+    # width/filter rounding matches the published scaling recipe
+    assert efficientnet.round_filters(32, 1.0) == 32
+    assert efficientnet.round_filters(32, 1.4) == 48   # b4
+    assert efficientnet.round_repeats(2, 1.2) == 3
+    blocks = jm._scaled_blocks()
+    assert len(blocks) == 16                            # b0 block count
