@@ -135,6 +135,85 @@ class BackboneEncoder(Layer):
 
 
 @dataclasses.dataclass(frozen=True)
+class GradualStyleEncoder(Layer):
+    """Original pixel2style2pixel FPN encoder
+    (``restyle-encoder/models/encoders/fpn_encoders.py:11-82``): IR-SE body
+    with feature taps at block indices 6/20/23, lateral 1x1 convs, and
+    coarse/mid/fine style groups on the pyramid levels (align-corners
+    bilinear upsample-add)."""
+
+    num_layers: int = 50
+    mode: str = "ir_se"
+    n_styles: int = 18
+    input_nc: int = 6
+    coarse_ind: int = 3
+    middle_ind: int = 7
+
+    def _children(self):
+        se = self.mode == "ir_se"
+        body = [BottleneckIR(i, d, s, se=se)
+                for i, d, s in get_blocks(self.num_layers)]
+        d = {
+            "input_layer": Sequential(
+                Conv2d(self.input_nc, 64, 3, padding=1, use_bias=False),
+                BatchNorm2d(64), PReLU(64)),
+            "body": Sequential(*body),
+            "latlayer1": Conv2d(256, 512, 1, init_mode="torch_default"),
+            "latlayer2": Conv2d(128, 512, 1, init_mode="torch_default"),
+        }
+        for i in range(self.n_styles):
+            spatial = 16 if i < self.coarse_ind else \
+                (32 if i < self.middle_ind else 64)
+            d[f"styles.{i}"] = GradualStyleBlock(512, 512, spatial)
+        return d
+
+    def init(self, key):
+        return init_child(self._children(), key)
+
+    def apply(self, params, state, x, ctx):
+        from ..ops.image import resize_bilinear_align_corners
+        ch = self._children()
+        new_state = {}
+        x, ns = ch["input_layer"].apply(params["input_layer"],
+                                        state.get("input_layer", {}), x,
+                                        ctx)
+        new_state["input_layer"] = ns
+        body = ch["body"].layers
+        bp = params["body"]
+        bs = state.get("body", {})
+        nbs = {}
+        c1 = c2 = c3 = None
+        for i, lyr in enumerate(body):
+            s_i = bs.get(str(i), {})
+            x, ns = lyr.apply(bp[str(i)], s_i, x, ctx)
+            if s_i or ns:
+                nbs[str(i)] = ns
+            if i == 6:
+                c1 = x
+            elif i == 20:
+                c2 = x
+            elif i == 23:
+                c3 = x
+        new_state["body"] = nbs
+
+        def style(i, feat):
+            y, _ = ch[f"styles.{i}"].apply(params[f"styles.{i}"], {}, feat,
+                                           ctx)
+            return y
+
+        latents = [style(j, c3) for j in range(self.coarse_ind)]
+        l1, _ = ch["latlayer1"].apply(params["latlayer1"], {}, c2, ctx)
+        p2 = resize_bilinear_align_corners(c3, l1.shape[1], l1.shape[2]) + l1
+        latents += [style(j, p2)
+                    for j in range(self.coarse_ind, self.middle_ind)]
+        l2, _ = ch["latlayer2"].apply(params["latlayer2"], {}, c1, ctx)
+        p1 = resize_bilinear_align_corners(p2, l2.shape[1], l2.shape[2]) + l2
+        latents += [style(j, p1)
+                    for j in range(self.middle_ind, self.n_styles)]
+        return jnp.stack(latents, axis=1), new_state
+
+
+@dataclasses.dataclass(frozen=True)
 class BackboneEncoderDiffHead(Layer):
     """``restyle_psp.py:118-216``: 6-channel input layer, IR-SE body,
     switchable output head ('facerec' | 'pSp' | 'both')."""

@@ -1,0 +1,192 @@
+"""Stage-2 ReStyle e4e coach — the adversarial/progressive variant.
+
+Parity target: ``/root/reference/restyle-encoder/training/coach_restyle_e4e.py``:
+same refinement skeleton as the pSp coach plus
+  * latent-discriminator adversarial loss on the encoder
+    (non-saturating softplus over the discriminated w dims, :380-389),
+  * discriminator training with real w's sampled from the frozen mapping
+    network, fake w's from a replay pool, lazy R1 on real w's (:497-543),
+  * per-stage delta regularization ||w_i - w_0|| (:391-402),
+  * progressive stage scheduling by global step (:480-485).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.e4e import (E4e, LatentCodesDiscriminator, LatentCodesPool,
+                          ProgressiveBackboneEncoder)
+from ..nn import Ctx
+from .stage2 import Stage2Coach, Stage2Config
+
+
+@dataclasses.dataclass(frozen=True)
+class E4eConfig(Stage2Config):
+    """adds the e4eTrainOptions knobs (``options/e4e_train_options.py``)."""
+
+    w_discriminator_lambda: float = 0.1
+    w_discriminator_lr: float = 2e-5
+    r1: float = 10.0
+    d_reg_every: int = 16
+    delta_norm: int = 2
+    delta_norm_lambda: float = 2e-4
+    progressive_steps: Sequence[int] = ()
+    w_pool_size: int = 50
+
+
+class E4eCoach(Stage2Coach):
+    def __init__(self, cfg: E4eConfig, lpips_fn=None, id_loss_fn=None):
+        super().__init__(cfg, lpips_fn=lpips_fn, id_loss_fn=id_loss_fn)
+        self.cfg = cfg
+        self.model = E4e(output_size=cfg.output_size,
+                         input_nc=cfg.input_nc)
+        self.discriminator = LatentCodesDiscriminator(512, 4)
+        self.tx_d = optax.adam(cfg.w_discriminator_lr, b1=0.9, b2=0.999)
+        self.pool = LatentCodesPool(cfg.w_pool_size)
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_d_step = jax.jit(self._d_step, static_argnames=("do_r1",))
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        params, state, opt_state = super().init(k1)
+        d_params, _ = self.discriminator.init(k2)
+        return params, state, opt_state, d_params, self.tx_d.init(d_params)
+
+    def set_stage(self, stage: int):
+        """Progressive schedule hook (coach_restyle_e4e.py:480-485)."""
+        self.model = self.model.set_stage(stage)
+        self._jit_train_step = jax.jit(self._train_step)
+
+    # -- encoder-side extra losses ----------------------------------------
+
+    def _calc_loss(self, y_hat, y, x, latent, latent_avg,
+                   d_params=None):
+        loss, logs = super()._calc_loss(y_hat, y, x, latent, latent_avg)
+        cfg = self.cfg
+        if cfg.w_discriminator_lambda > 0 and d_params is not None:
+            # discriminate every latent dim (inference-stage behavior)
+            n = latent.shape[1]
+            w_flat = latent.reshape(-1, latent.shape[-1])
+            pred, _ = self.discriminator.apply(d_params, {}, w_flat,
+                                               Ctx(train=True))
+            loss_disc = jnp.mean(jax.nn.softplus(-pred))
+            logs["encoder_discriminator_loss"] = loss_disc
+            loss = loss + cfg.w_discriminator_lambda * loss_disc
+        if cfg.progressive_steps and cfg.delta_norm_lambda > 0:
+            first_w = latent[:, 0:1, :]
+            deltas = latent[:, 1:, :] - first_w
+            delta_loss = jnp.sum(jnp.mean(jnp.linalg.norm(
+                deltas, ord=cfg.delta_norm, axis=2), axis=0))
+            logs["total_delta_loss"] = delta_loss
+            loss = loss + cfg.delta_norm_lambda * delta_loss
+        logs["loss"] = loss
+        return loss, logs
+
+    def _refinement_losses(self, trainable, params, state, x, y, avg_image,
+                           rng, d_params=None):
+        cfg = self.cfg
+        merged = self._merge(params, trainable)
+        ctx = Ctx(train=True, rng=rng)
+        latent_avg = state["latent_avg"]
+        y_hat = None
+        latent = None
+        total = jnp.zeros((), jnp.float32)
+        logs = {}
+        from ..ops.image import resize_bilinear
+        for it in range(cfg.n_iters_per_batch):
+            cond = jnp.broadcast_to(avg_image[None], x.shape) if it == 0 \
+                else jax.lax.stop_gradient(y_hat)
+            x_input = jnp.concatenate([x, cond], axis=-1)
+            carry = None if latent is None \
+                else jax.lax.stop_gradient(latent)
+            (out, latent), _ = self.model.apply(
+                merged, state, (x_input, carry), ctx, resize=True,
+                randomize_noise=True, return_latents=True)
+            y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
+            loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg,
+                                         d_params)
+            total = total + loss
+        return total, (y_hat, latent, logs)
+
+    def _train_step(self, trainable, params, state, opt_state, x, y,
+                    avg_image, rng, d_params):
+        (loss, (y_hat, latent, logs)), grads = jax.value_and_grad(
+            self._refinement_losses, has_aux=True)(
+                trainable, params, state, x, y, avg_image, rng, d_params)
+        updates, new_opt = self.tx.update(grads, opt_state, trainable)
+        new_trainable = jax.tree_util.tree_map(lambda p, u: p + u,
+                                               trainable, updates)
+        return new_trainable, new_opt, loss, logs, y_hat, latent
+
+    def train_step(self, params, state, opt_state, x, y, avg_image, rng,
+                   d_params=None):
+        trainable = self._trainable(params)
+        new_trainable, new_opt, loss, logs, y_hat, latent = \
+            self._jit_train_step(trainable, params, state, opt_state, x, y,
+                                 avg_image, rng, d_params)
+        return (self._merge(params, new_trainable), new_opt, loss, logs,
+                y_hat, latent)
+
+    # -- discriminator side ------------------------------------------------
+
+    def sample_real_w(self, params, state, key, batch: int):
+        """Real w's from the frozen mapping network
+        (coach_restyle_e4e.py sample_real_and_fake_latents)."""
+        dec = self.model._children()["decoder"]
+        mapping = dec._children()["mapping"]
+        z = jax.random.normal(key, (batch, 512))
+        w, _ = mapping.apply(params["decoder"]["mapping"],
+                             state["decoder"]["mapping"], z,
+                             Ctx(train=False))
+        return w[:, 0, :]
+
+    def _d_loss(self, d_params, real_w, fake_w, do_r1):
+        real_pred, _ = self.discriminator.apply(d_params, {}, real_w,
+                                                Ctx(train=True))
+        fake_pred, _ = self.discriminator.apply(d_params, {}, fake_w,
+                                                Ctx(train=True))
+        loss = jnp.mean(jax.nn.softplus(-real_pred)) \
+            + jnp.mean(jax.nn.softplus(fake_pred))
+        if do_r1:
+            def dsum(w):
+                p, _ = self.discriminator.apply(d_params, {}, w,
+                                                Ctx(train=True))
+                return jnp.sum(p)
+            g = jax.grad(dsum)(real_w)
+            r1 = jnp.mean(jnp.sum(jnp.square(g), axis=1))
+            loss = loss + (self.cfg.r1 / 2) * r1 * self.cfg.d_reg_every
+        return loss
+
+    def _d_step(self, d_params, d_opt, real_w, fake_w, do_r1):
+        loss, grads = jax.value_and_grad(self._d_loss)(
+            d_params, real_w, fake_w, do_r1)
+        updates, new_opt = self.tx_d.update(grads, d_opt, d_params)
+        new_d = jax.tree_util.tree_map(lambda p, u: p + u, d_params,
+                                       updates)
+        return new_d, new_opt, loss
+
+    def train_discriminator(self, params, state, d_params, d_opt, latent,
+                            key, step: int):
+        """One D update; fake w's routed through the replay pool
+        (coach_restyle_e4e.py:511-543)."""
+        import numpy as np
+        real_w = self.sample_real_w(params, state, key, latent.shape[0])
+        fake_np = self.pool.query(np.asarray(
+            jax.lax.stop_gradient(latent)))
+        fake_w = jnp.asarray(fake_np)
+        do_r1 = (step % self.cfg.d_reg_every) == 0
+        return self._jit_d_step(d_params, d_opt, real_w, fake_w,
+                                do_r1=do_r1)
+
+    def stage_for_step(self, step: int) -> int:
+        """coach_restyle_e4e.py:480-485."""
+        stage = 0
+        for i, s in enumerate(self.cfg.progressive_steps):
+            if step >= s:
+                stage = i
+        return stage

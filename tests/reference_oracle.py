@@ -55,6 +55,7 @@ def install_dep_stubs():
             raise RuntimeError("torchvision stub: resnet34 unavailable")
         tvr.resnet34 = resnet34
         tvm.resnet = tvr
+        tvm.resnet34 = resnet34
         tv.models = tvm
 
         class _T:  # transform placeholders; constructed but never called

@@ -1,0 +1,144 @@
+"""e4e stack: progressive encoder parity, latent discriminator, codes
+pool, FPN encoder parity, e4e coach step."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.models import e4e as je4e
+from stylegan_for_facerec_tpu.models import psp as jpsp
+from stylegan_for_facerec_tpu.utils import torch_convert as tc
+from reference_oracle import ref_import_restyle
+
+
+def to_nchw(x):
+    return np.moveaxis(np.asarray(x), -1, 1)
+
+
+class TrimmedProg(je4e.ProgressiveBackboneEncoder):
+    def _children(self):
+        from stylegan_for_facerec_tpu.models.irse import (BottleneckIR,
+                                                          get_blocks)
+        from stylegan_for_facerec_tpu.models.psp import GradualStyleBlock
+        ch = super()._children()
+        blocks = get_blocks(50)[:2]
+        ch["body"] = nn.Sequential(
+            *[BottleneckIR(i, d, s, se=True) for i, d, s in blocks])
+        for i in range(self.n_styles):
+            # trimmed body: 2 blocks -> 64ch at 16x16
+            ch[f"styles.{i}"] = GradualStyleBlock(64, 512,
+                                                  self.style_spatial)
+        return ch
+
+
+@pytest.mark.parametrize("stage", [0, 2, 18])
+def test_progressive_encoder_stages(stage, rng):
+    """w0 broadcast; deltas only on dims <= stage."""
+    # trimmed body ends at 128ch 16x16 -> style spatial 16 (4 convs to 1x1)
+    enc = TrimmedProg(50, "ir_se", n_styles=4, input_nc=6, stage=stage,
+                      style_spatial=16)
+    # body trimmed to 64ch; style heads expect 512 — feed 512 features
+    # by testing the head logic directly through a fake feature map
+    params, state = enc.init(jax.random.key(0))
+    x = jnp.asarray(rng.randn(2, 32, 32, 6).astype(np.float32))
+    w, _ = enc.apply(params, state, x, nn.Ctx(train=False))
+    assert w.shape[1] == 4
+    w = np.asarray(w)
+    for i in range(1, 4):
+        same = np.allclose(w[:, i], w[:, 0])
+        if i <= min(stage, 3):
+            assert not same, f"dim {i} should carry a delta at stage {stage}"
+        else:
+            assert same, f"dim {i} should equal w0 at stage {stage}"
+
+
+def test_progressive_encoder_vs_reference(rng):
+    """Full parity vs the reference ProgressiveBackboneEncoder at the
+    Inference stage (all deltas active)."""
+    enc_mod = ref_import_restyle("models.encoders.restyle_e4e_encoders")
+    opts = types.SimpleNamespace(input_nc=6)
+    torch.manual_seed(0)
+    tm = enc_mod.ProgressiveBackboneEncoder(50, "ir_se", n_styles=3,
+                                            opts=opts)
+    tm.eval()
+    jm = je4e.ProgressiveBackboneEncoder(50, "ir_se", n_styles=3,
+                                         input_nc=6, stage=18)
+    params, state = tc.from_torch(jm, tm.state_dict())
+    x = rng.randn(1, 112, 112, 6).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_latent_discriminator_parity(rng):
+    disc_mod = ref_import_restyle("models.e4e_modules.discriminator")
+    torch.manual_seed(0)
+    tm = disc_mod.LatentCodesDiscriminator(512, 4)
+    jm = je4e.LatentCodesDiscriminator(512, 4)
+    params, _ = tc.from_torch(jm, tm.state_dict())
+    w = rng.randn(6, 512).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(w)).numpy()
+    got, _ = jm.apply(params, {}, jnp.asarray(w), nn.Ctx())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_latent_codes_pool(rng):
+    pool = je4e.LatentCodesPool(pool_size=4, seed=0)
+    w1 = rng.randn(4, 512).astype(np.float32)
+    out1 = pool.query(w1)
+    np.testing.assert_array_equal(out1, w1)     # buffer fills, passthrough
+    w2 = rng.randn(4, 512).astype(np.float32)
+    out2 = pool.query(w2)
+    assert out2.shape == w2.shape               # mix of old and new
+    # 3-D input picks a random latent row
+    w3 = rng.randn(2, 14, 512).astype(np.float32)
+    out3 = pool.query(w3)
+    assert out3.shape == (2, 512)
+
+
+def test_fpn_encoder_parity(rng):
+    """GradualStyleEncoder (fpn_encoders.py) full parity, 256px input."""
+    fpn_mod = ref_import_restyle("models.encoders.fpn_encoders")
+    opts = types.SimpleNamespace(input_nc=6)
+    torch.manual_seed(0)
+    tm = fpn_mod.GradualStyleEncoder(50, "ir_se", n_styles=8, opts=opts)
+    tm.eval()
+    jm = jpsp.GradualStyleEncoder(50, "ir_se", n_styles=8, input_nc=6)
+    params, state = tc.from_torch(jm, tm.state_dict())
+    x = rng.randn(1, 256, 256, 6).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=3e-3)
+
+
+def test_e4e_coach_step(rng):
+    from stylegan_for_facerec_tpu.train.stage2_e4e import E4eCoach, E4eConfig
+    cfg = E4eConfig(output_size=32, n_iters_per_batch=1, lpips_lambda=0.0,
+                    target_size=32, w_discriminator_lambda=0.1,
+                    progressive_steps=(0, 100), delta_norm_lambda=2e-4)
+    coach = E4eCoach(cfg)
+    params, state, opt_state, d_params, d_opt = coach.init(
+        jax.random.key(0))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=32)
+    avg = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    params, opt_state, loss, logs, y_hat, latent = coach.train_step(
+        params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
+    assert np.isfinite(float(loss))
+    assert "encoder_discriminator_loss" in logs
+    assert "total_delta_loss" in logs
+    d_params2, d_opt2, d_loss = coach.train_discriminator(
+        params, state, d_params, d_opt, latent, jax.random.key(4), step=0)
+    assert np.isfinite(float(d_loss))
+    l0 = jax.tree_util.tree_leaves(d_params)[0]
+    l1 = jax.tree_util.tree_leaves(d_params2)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
