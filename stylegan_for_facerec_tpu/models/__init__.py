@@ -1,5 +1,10 @@
-from . import (attention, efficientnet, ghostnet, heads, irse,
-               mobilefacenet, psp, resnet, stylegan2, stylegan2_ada)
+from . import (attention, e4e, efficientnet, gac, ghostnet, heads,
+               heads_extra, irse, mobilefacenet, mtcnn, psp, resnet,
+               stylegan2, stylegan2_ada)
+from .e4e import (E4e, LatentCodesDiscriminator, LatentCodesPool,
+                  ProgressiveBackboneEncoder)
+from .mtcnn import MTCNN
+from .psp import GradualStyleEncoder
 from .attention import AttentionNet_56, AttentionNet_92, ResidualAttentionNet
 from .efficientnet import EfficientNet, EfficientNetB0
 from .ghostnet import GhostNet
