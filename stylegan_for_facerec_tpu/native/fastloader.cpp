@@ -1,0 +1,326 @@
+// fastloader — native multi-threaded JPEG decode + resize + normalize
+// batch pipeline.
+//
+// TPU-native counterpart of the reference's torch DataLoader fork workers
+// (/root/reference/train.py:129-132, num_workers=8 + pin_memory): worker
+// threads libjpeg-decode images, bilinear-resize the smaller side to S,
+// center-crop SxS, normalize to [-1,1] float32 NHWC, and assemble whole
+// batches into a bounded ring of buffers the host thread hands to
+// jax.device_put. Corrupt files are replaced by resampling another index
+// (keeps batch shapes static — the semantics of dataset.py:77-91 +
+// collate_fn_ignore_none without dynamic batch sizes).
+//
+// C API (ctypes-friendly); see data/native_loader.py for the wrapper.
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto *err = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// decode a JPEG file into RGB8; returns false on any error
+bool decode_jpeg(const std::string &path, std::vector<uint8_t> &rgb,
+                 int &width, int &height) {
+  FILE *f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  width = cinfo.output_width;
+  height = cinfo.output_height;
+  rgb.resize(static_cast<size_t>(width) * height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t *row = rgb.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// bilinear sample with half-pixel centers (matches PIL/torch
+// align_corners=False up-path used by the python loader)
+inline float lerp_sample(const uint8_t *img, int w, int h, int c, float fx,
+                         float fy, int ch) {
+  int x0 = static_cast<int>(std::floor(fx));
+  int y0 = static_cast<int>(std::floor(fy));
+  float ax = fx - x0, ay = fy - y0;
+  auto clampi = [](int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+  };
+  int x0c = clampi(x0, 0, w - 1), x1c = clampi(x0 + 1, 0, w - 1);
+  int y0c = clampi(y0, 0, h - 1), y1c = clampi(y0 + 1, 0, h - 1);
+  auto at = [&](int yy, int xx) {
+    return static_cast<float>(img[(static_cast<size_t>(yy) * w + xx) * 3 +
+                                  ch]);
+  };
+  float top = at(y0c, x0c) * (1 - ax) + at(y0c, x1c) * ax;
+  float bot = at(y1c, x0c) * (1 - ax) + at(y1c, x1c) * ax;
+  return top * (1 - ay) + bot * ay;
+}
+
+// smaller-side resize to S, center-crop SxS, normalize to [-1, 1]
+void resize_normalize(const std::vector<uint8_t> &rgb, int w, int h, int S,
+                      float *out) {
+  int nw, nh;
+  if (w <= h) {
+    nw = S;
+    nh = std::max(S, static_cast<int>(std::lround(
+                         static_cast<double>(h) * S / w)));
+  } else {
+    nh = S;
+    nw = std::max(S, static_cast<int>(std::lround(
+                         static_cast<double>(w) * S / h)));
+  }
+  int left = (nw - S) / 2, top = (nh - S) / 2;
+  float sx = static_cast<float>(w) / nw, sy = static_cast<float>(h) / nh;
+  for (int y = 0; y < S; ++y) {
+    float fy = (y + top + 0.5f) * sy - 0.5f;
+    for (int x = 0; x < S; ++x) {
+      float fx = (x + left + 0.5f) * sx - 0.5f;
+      for (int c = 0; c < 3; ++c) {
+        float v = lerp_sample(rgb.data(), w, h, 3, fx, fy, c) / 255.0f;
+        out[(static_cast<size_t>(y) * S + x) * 3 + c] = (v - 0.5f) / 0.5f;
+      }
+    }
+  }
+}
+
+struct Batch {
+  size_t index = 0;
+  std::vector<float> images;
+  std::vector<int32_t> labels;
+};
+
+struct BatchOrder {
+  bool operator()(const Batch *a, const Batch *b) const {
+    return a->index > b->index;  // min-heap by index
+  }
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;
+  int batch_size = 0;
+  int out_size = 0;
+  int n_threads = 4;
+  bool shuffle = true;
+  bool drop_last = true;
+  uint32_t seed = 0;
+
+  std::vector<uint32_t> order;
+  std::atomic<size_t> next_batch{0};
+  size_t n_batches = 0;
+
+  std::priority_queue<Batch *, std::vector<Batch *>, BatchOrder> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready;
+  size_t max_ready = 8;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop_flag{false};
+  std::atomic<size_t> produced{0};
+  size_t next_expected = 0;
+
+  void build_order() {
+    order.resize(paths.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    if (shuffle) {
+      std::mt19937 rng(seed);
+      std::shuffle(order.begin(), order.end(), rng);
+    }
+    n_batches = drop_last ? paths.size() / batch_size
+                          : (paths.size() + batch_size - 1) / batch_size;
+  }
+
+  void fill_item(uint32_t idx, float *img_out, int32_t *label_out,
+                 std::mt19937 &rng) {
+    std::vector<uint8_t> rgb;
+    int w, h;
+    for (int attempt = 0; attempt < 10; ++attempt) {
+      if (decode_jpeg(paths[idx], rgb, w, h) && w > 0 && h > 0) {
+        resize_normalize(rgb, w, h, out_size, img_out);
+        *label_out = labels[idx];
+        return;
+      }
+      idx = rng() % paths.size();  // corrupt: resample (static shapes)
+    }
+    std::memset(img_out, 0,
+                sizeof(float) * 3 * out_size * out_size);
+    *label_out = labels.empty() ? 0 : labels[idx];
+  }
+
+  void worker(int wid) {
+    std::mt19937 rng(seed * 9973u + wid);
+    while (!stop_flag.load()) {
+      size_t b = next_batch.fetch_add(1);
+      if (b >= n_batches) break;
+      auto *batch = new Batch;
+      batch->index = b;
+      size_t start = b * static_cast<size_t>(batch_size);
+      size_t count = std::min(static_cast<size_t>(batch_size),
+                              paths.size() - start);
+      batch->images.resize(static_cast<size_t>(batch_size) * out_size *
+                           out_size * 3);
+      batch->labels.resize(batch_size);
+      for (size_t i = 0; i < count; ++i) {
+        fill_item(order[start + i],
+                  batch->images.data() +
+                      i * static_cast<size_t>(out_size) * out_size * 3,
+                  &batch->labels[i], rng);
+      }
+      for (size_t i = count; i < static_cast<size_t>(batch_size); ++i) {
+        // ragged tail (drop_last=false): repeat the first item
+        std::memcpy(batch->images.data() +
+                        i * static_cast<size_t>(out_size) * out_size * 3,
+                    batch->images.data(),
+                    sizeof(float) * out_size * out_size * 3);
+        batch->labels[i] = batch->labels[0];
+      }
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        // window by index (not queue size): the batch holding
+        // next_expected must always be admittable or the in-order
+        // consumer deadlocks behind later batches
+        cv_ready.wait(lk, [&] {
+          return batch->index < next_expected + max_ready ||
+                 stop_flag.load();
+        });
+        if (stop_flag.load()) {
+          delete batch;
+          break;
+        }
+        ready.push(batch);
+      }
+      cv_ready.notify_all();
+    }
+  }
+
+  void start() {
+    stop_flag = false;
+    produced = 0;
+    next_expected = 0;
+    next_batch = 0;
+    build_order();
+    for (int i = 0; i < n_threads; ++i)
+      workers.emplace_back([this, i] { worker(i); });
+  }
+
+  void join() {
+    stop_flag = true;
+    cv_ready.notify_all();
+    for (auto &t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    std::unique_lock<std::mutex> lk(mu);
+    while (!ready.empty()) {
+      delete ready.top();
+      ready.pop();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *fl_create(const char **paths, int n_paths, const int32_t *labels,
+                int batch_size, int out_size, int n_threads, int shuffle,
+                uint32_t seed, int drop_last) {
+  auto *l = new Loader;
+  l->paths.reserve(n_paths);
+  for (int i = 0; i < n_paths; ++i) l->paths.emplace_back(paths[i]);
+  l->labels.assign(labels, labels + n_paths);
+  l->batch_size = batch_size;
+  l->out_size = out_size;
+  l->n_threads = n_threads;
+  l->shuffle = shuffle != 0;
+  l->seed = seed;
+  l->drop_last = drop_last != 0;
+  l->start();
+  return l;
+}
+
+int fl_num_batches(void *handle) {
+  return static_cast<int>(static_cast<Loader *>(handle)->n_batches);
+}
+
+// blocking: copy the next ready batch into caller buffers.
+// returns 1 on success, 0 when the epoch is exhausted.
+int fl_next(void *handle, float *images_out, int32_t *labels_out) {
+  auto *l = static_cast<Loader *>(handle);
+  Batch *batch = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(l->mu);
+    // deliver strictly in batch-index order
+    l->cv_ready.wait(lk, [&] {
+      if (l->produced.load() >= l->n_batches) return true;
+      return !l->ready.empty() && l->ready.top()->index == l->next_expected;
+    });
+    if (l->produced.load() >= l->n_batches) return 0;
+    batch = l->ready.top();
+    l->ready.pop();
+    l->next_expected++;
+    l->produced.fetch_add(1);
+  }
+  l->cv_ready.notify_all();
+  std::memcpy(images_out, batch->images.data(),
+              batch->images.size() * sizeof(float));
+  std::memcpy(labels_out, batch->labels.data(),
+              batch->labels.size() * sizeof(int32_t));
+  delete batch;
+  return 1;
+}
+
+void fl_reset(void *handle, uint32_t seed) {
+  auto *l = static_cast<Loader *>(handle);
+  l->join();
+  l->seed = seed;
+  l->start();
+}
+
+void fl_destroy(void *handle) {
+  auto *l = static_cast<Loader *>(handle);
+  l->join();
+  delete l;
+}
+
+}  // extern "C"

@@ -55,8 +55,8 @@ def main():
     ap.add_argument("--mesh_model_axis", type=int, default=1)
     args = ap.parse_args()
 
-    from stylegan_for_facerec_tpu.data import (DataLoader, FacesDataset,
-                                               device_augment)
+    from stylegan_for_facerec_tpu.data import FacesDataset, device_augment
+    from stylegan_for_facerec_tpu.data.native_loader import make_loader
     from stylegan_for_facerec_tpu.eval import get_rfw_val_data, perform_val
     from stylegan_for_facerec_tpu.parallel import make_mesh
     from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
@@ -66,9 +66,9 @@ def main():
     train_root = os.path.join(opts.data_root, opts.train_subdir)
     ds = FacesDataset(train_root)
     print(f"[data] {len(ds)} images, {ds.n_identities} identities")
-    loader = DataLoader(ds, opts.batch_size,
-                        num_workers=opts.num_workers,
-                        drop_last=opts.drop_last)
+    loader = make_loader(ds, opts.batch_size,
+                         num_workers=opts.num_workers,
+                         drop_last=opts.drop_last)
     steps_per_epoch = len(loader)
 
     n_dev = len(jax.devices())
