@@ -62,7 +62,7 @@ def main():
     gp, gs = g.init(jax.random.key(0))
     gp = nn.cast_floats(gp, dtype)
     gs = nn.cast_floats(gs, dtype)
-    bs_g = 32
+    bs_g = 128
     key = jax.random.key(1)
 
     def synth_step(z):

@@ -286,6 +286,77 @@ class BackboneEncoderDiffHead(Layer):
         return {"facerec": xf, "pSp": xp}, new_state
 
 
+def _resnet34_trunk():
+    """torchvision resnet34 layer1-4 flattened (the reference initializes
+    from pretrained torchvision weights and re-maps module names,
+    ``restyle_psp.py:321-338``). BasicBlock stacks: 3/4/6/3."""
+    from .resnet import BasicBlock
+    blocks = []
+    inplanes = 64
+    for planes, n, stride in ((64, 3, 1), (128, 4, 2), (256, 6, 2),
+                              (512, 3, 2)):
+        for b in range(n):
+            s = stride if b == 0 else 1
+            blocks.append(BasicBlock(
+                inplanes, planes, s,
+                has_downsample=(s != 1 or inplanes != planes)))
+            inplanes = planes
+    return Sequential(*blocks)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetBackboneEncoder(Layer):
+    """``restyle_psp_encoders.py:58-98`` / ``restyle_psp.py:219-259``:
+    conv7x7/s2 -> BN -> PReLU -> resnet34 trunk -> n_styles map2style
+    heads (spatial 16)."""
+
+    n_styles: int = 18
+    input_nc: int = 6
+    output_layer_type: str = "pSp"   # 'pSp' | 'facerec'
+    emb_size: int = 512
+
+    def _children(self):
+        d = {"conv1": Conv2d(self.input_nc, 64, 7, stride=2, padding=3,
+                             use_bias=False, init_mode="torch_default"),
+             "bn1": BatchNorm2d(64),
+             "relu": PReLU(64),
+             "body": _resnet34_trunk()}
+        if self.output_layer_type == "facerec":
+            d["output_layer"] = Sequential(
+                BatchNorm2d(512), Dropout(0.5), Flatten(),
+                Linear(512 * 7 * 7, self.emb_size),
+                BatchNorm1d(self.emb_size))
+        else:
+            for i in range(self.n_styles):
+                d[f"styles.{i}"] = GradualStyleBlock(512, 512, 16)
+        return d
+
+    def init(self, key):
+        return init_child(self._children(), key)
+
+    def apply(self, params, state, x, ctx):
+        ch = self._children()
+        new_state = {}
+
+        def run(name, h):
+            s = state.get(name, {})
+            h, ns = ch[name].apply(params[name], s, h, ctx)
+            if s or ns:
+                new_state[name] = ns
+            return h
+
+        x = run("relu", run("bn1", run("conv1", x)))
+        x = run("body", x)
+        if self.output_layer_type == "facerec":
+            return run("output_layer", x), new_state
+        latents = []
+        for i in range(self.n_styles):
+            y, _ = ch[f"styles.{i}"].apply(params[f"styles.{i}"], {}, x,
+                                           ctx)
+            latents.append(y)
+        return jnp.stack(latents, axis=1), new_state
+
+
 @dataclasses.dataclass(frozen=True)
 class PSpFaceRec(Layer):
     """Stage-3 pSp backbone (``restyle_psp.py:358-478``): encoder-only with
@@ -323,6 +394,37 @@ class PSpFaceRec(Layer):
         new_state = dict(state)
         new_state["encoder"] = ns
         return y, new_state
+
+
+# the encoder registry of the reference inference scripts
+# (restyle_psp.py:316-319 ENCODER_TYPES + psp.py:37-52 set_encoder)
+ENCODER_TYPES = {
+    "pSp": ("GradualStyleEncoder", "ResNetGradualStyleEncoder",
+            "BackboneEncoder", "ResNetBackboneEncoder"),
+    "e4e": ("ProgressiveBackboneEncoder",
+            "ResNetProgressiveBackboneEncoder"),
+}
+
+
+def build_encoder(encoder_type: str, n_styles: int, input_nc: int = 6,
+                  num_layers: int = 50):
+    """Factory mirroring ``models/psp.py:37-52``."""
+    if encoder_type == "GradualStyleEncoder":
+        return GradualStyleEncoder(num_layers, "ir_se", n_styles,
+                                   input_nc=input_nc)
+    if encoder_type == "BackboneEncoder":
+        return BackboneEncoder(50, "ir_se", n_styles, input_nc=input_nc)
+    if encoder_type == "BackboneEncoder34":
+        return BackboneEncoder(34, "ir_se", n_styles, input_nc=input_nc)
+    if encoder_type == "BackboneEncoder100":
+        return BackboneEncoder(100, "ir_se", n_styles, input_nc=input_nc)
+    if encoder_type == "ResNetBackboneEncoder":
+        return ResNetBackboneEncoder(n_styles, input_nc=input_nc)
+    if encoder_type == "ProgressiveBackboneEncoder":
+        from .e4e import ProgressiveBackboneEncoder
+        return ProgressiveBackboneEncoder(50, "ir_se", n_styles,
+                                          input_nc=input_nc)
+    raise ValueError(f"{encoder_type} is not a valid encoder")
 
 
 def n_styles_for(output_size: int, generator_ada: bool = True) -> int:
