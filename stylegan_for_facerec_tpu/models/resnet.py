@@ -186,6 +186,28 @@ class ResNet(Layer):
         return x, new_state
 
 
+def resnet50_pooled_features(model: "ResNet", params, state, x, ctx):
+    """Global-average-pooled 2048-d trunk features — the MoCo feature path
+    (``criteria/moco_loss.py:36-45``: torchvision resnet50 minus fc).
+    Shares the conv trunk of ``ResNet``; skips the face-rec head."""
+    from ..nn import Dropout
+    ch = model._children()
+    new_state = {}
+
+    def run(name, h):
+        s = state.get(name, {})
+        h, ns = ch[name].apply(params[name], s, h, ctx)
+        if s or ns:
+            new_state[name] = ns
+        return h
+
+    x = jnp.maximum(run("bn1", run("conv1", x)), 0)
+    x, _ = MaxPool2d(3, 2, padding=1).apply({}, {}, x, ctx)
+    for i in (1, 2, 3, 4):
+        x = run(f"layer{i}", x)
+    return jnp.mean(x, axis=(1, 2)), new_state
+
+
 def ResNet_50(input_size=112, **kw):
     return ResNet(input_size, (3, 4, 6, 3), "bottleneck", **kw)
 

@@ -116,6 +116,43 @@ def apply_grad_mask(grads, mask):
     return jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
 
 
+def increasing_layer_decay_mask(params, first_layer_lr: float = 0.0)\
+        -> dict:
+    """Per-layer LR scaling mask (``apply_increasing_layer_decay``,
+    ``util/utils.py:372-396``): gradient hooks in torch become a static
+    multiplier pytree here. 'weight' leaves are counted in tree order;
+    each weight/bias leaf gets ratio first_layer_lr + depth_fraction *
+    (1 - first_layer_lr) — early layers learn slower."""
+    leaves = []
+
+    def collect(node, prefix=()):
+        if isinstance(node, dict):
+            for k in node:
+                collect(node[k], prefix + (k,))
+        else:
+            leaves.append(prefix)
+
+    collect(params)
+    n_weights = sum(1 for p in leaves if p and p[-1] == "weight")
+    ratios = {}
+    cur = 0
+    for p in leaves:
+        if p and p[-1] == "weight":
+            cur += 1
+        if p and p[-1] in ("weight", "bias") and n_weights:
+            ratios[p] = first_layer_lr + cur / n_weights \
+                * (1.0 - first_layer_lr)
+        else:
+            ratios[p] = 1.0
+
+    def build(node, prefix=()):
+        if isinstance(node, dict):
+            return {k: build(v, prefix + (k,)) for k, v in node.items()}
+        return jnp.asarray(ratios[prefix], jnp.float32)
+
+    return build(params)
+
+
 # ---------------------------------------------------------------------------
 # Ranger (stage 2): RAdam + Lookahead + gradient centralization
 # ---------------------------------------------------------------------------

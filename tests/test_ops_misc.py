@@ -165,3 +165,16 @@ class TestImageOps:
         x = jnp.asarray(rng.randn(1, 4, 6, 3).astype(np.float32))
         np.testing.assert_array_equal(np.asarray(hflip(hflip(x))),
                                       np.asarray(x))
+
+
+class TestFusedResample:
+    def test_fused_equals_unfused(self, rng):
+        from stylegan_for_facerec_tpu.ops.resample import (
+            smooth_downsample_unfused, smooth_upsample_unfused)
+        x = jnp.asarray(rng.randn(2, 10, 14, 5).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(smooth_upsample(x)),
+            np.asarray(smooth_upsample_unfused(x)), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(smooth_downsample(x)),
+            np.asarray(smooth_downsample_unfused(x)), rtol=1e-5, atol=1e-5)

@@ -161,3 +161,16 @@ def test_ranger_runs(rng):
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
     for leaf in jax.tree_util.tree_leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_increasing_layer_decay_mask():
+    params = {"a": {"weight": jnp.zeros((2,)), "bias": jnp.zeros(())},
+              "b": {"weight": jnp.zeros((2,))},
+              "c": {"mean": jnp.zeros(())}}
+    mask = optim.increasing_layer_decay_mask(params, first_layer_lr=0.0)
+    # 2 weights total; a.weight is weight #1 -> 0.5, its bias shares 0.5;
+    # b.weight -> 1.0; non weight/bias leaves untouched
+    assert float(mask["a"]["weight"]) == pytest.approx(0.5)
+    assert float(mask["a"]["bias"]) == pytest.approx(0.5)
+    assert float(mask["b"]["weight"]) == pytest.approx(1.0)
+    assert float(mask["c"]["mean"]) == pytest.approx(1.0)

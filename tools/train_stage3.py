@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--max_steps", type=int, default=None,
                     help="debug cap on total steps")
     ap.add_argument("--mesh_model_axis", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in model_root")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.data import FacesDataset, device_augment
@@ -115,15 +117,27 @@ def main():
         print("[init] loaded avg image")
 
     mgr = CheckpointManager(os.path.join(opts.model_root, opts.name))
+    start_epoch = opts.start_epoch
+    if args.resume:
+        from stylegan_for_facerec_tpu.utils.checkpoint import (
+            load_checkpoint, load_metadata)
+        latest = mgr.latest()
+        if latest:
+            tree = load_checkpoint(latest, like={
+                "params": params, "state": state, "opt_state": opt_state})
+            params, state, opt_state = (tree["params"], tree["state"],
+                                        tree["opt_state"])
+            start_epoch = load_metadata(latest).get("epoch", -1) + 1
+            print(f"[resume] from {latest}, epoch {start_epoch}")
     val_data = None
     try:
         val_data = get_rfw_val_data(opts.data_root)
     except FileNotFoundError:
         print("[eval] RFW packed data not found; skipping eval")
 
-    step = 0
+    step = start_epoch * steps_per_epoch
     key = jax.random.key(1)
-    for epoch in range(opts.start_epoch, opts.num_epochs):
+    for epoch in range(start_epoch, opts.num_epochs):
         frozen = epoch < opts.freeze_backbone_epochs
         mask = trainer.freeze_mask(params, frozen=frozen)
         t0 = time.time()
