@@ -103,6 +103,29 @@ def extract_features_from_folder(backbone: Layer, params, state, root: str,
     return compute_embeddings(embed, arr, batch_size, emb_size)
 
 
+def extract_feature_single(backbone: Layer, params, state, img_path: str,
+                           tta: bool = True) -> np.ndarray:
+    """``extract_feature_v2.py:16-71``: cv2 BGR read -> resize 128 ->
+    center-crop 112 -> BGR-to-RGB -> (x - 127.5)/128 -> flip-TTA sum ->
+    L2 norm. Returns (1, emb)."""
+    import cv2
+    img = cv2.imread(img_path)
+    resized = cv2.resize(img, (128, 128))
+    cc = resized[8:120, 8:120][..., ::-1]           # crop + BGR->RGB
+    cc = np.asarray(cc, np.float32)
+    cc = (cc - 127.5) / 128.0
+    x = jnp.asarray(cc[None])
+    ctx = Ctx(train=False)
+    e1, _ = backbone.apply(params, state, x, ctx)
+    if tta:
+        e2, _ = backbone.apply(params, state, hflip(x), ctx)
+        e = e1 + e2
+    else:
+        e = e1
+    e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+    return np.asarray(e)
+
+
 def tensor2im(x: jax.Array) -> np.ndarray:
     """(H, W, 3) [-1,1] -> uint8 image (``common.py:5-12``)."""
     arr = np.asarray(x)

@@ -44,29 +44,44 @@ def calculate_accuracy(threshold: float, dist: np.ndarray,
 
 def calculate_roc(thresholds: np.ndarray, embeddings1: np.ndarray,
                   embeddings2: np.ndarray, actual_issame: np.ndarray,
-                  nrof_folds: int = 10):
-    """Vectorized twin of ``verification.py:37-91`` (pca=0 path):
-    per-fold best train threshold (argmax = FIRST max, as np.argmax),
-    test accuracy at that threshold, mean tpr/fpr curves."""
+                  nrof_folds: int = 10, pca: int = 0):
+    """Vectorized twin of ``verification.py:37-91``: per-fold best train
+    threshold (argmax = FIRST max, as np.argmax), test accuracy at that
+    threshold, mean tpr/fpr curves. ``pca > 0`` reproduces the per-fold
+    PCA path (:59-73): fit on the train fold, transform + L2-normalize
+    all embeddings, distances recomputed per fold."""
     issame = np.asarray(actual_issame, bool)
     n = min(len(issame), embeddings1.shape[0])
-    diff = embeddings1[:n] - embeddings2[:n]
-    dist = np.sum(np.square(diff), axis=1)
     thr = np.asarray(thresholds, np.float64)
 
-    predict = dist[None, :] < thr[:, None]                # (T, N)
-    is_tp = predict & issame[None, :]
-    is_fp = predict & ~issame[None, :]
-    correct = predict == issame[None, :]
+    def masks_for(dist):
+        predict = dist[None, :] < thr[:, None]            # (T, N)
+        return (predict & issame[None, :n],
+                predict & ~issame[None, :n],
+                predict == issame[None, :n])
+
+    if pca == 0:
+        dist = np.sum(np.square(embeddings1[:n] - embeddings2[:n]), axis=1)
+        is_tp, is_fp, correct = masks_for(dist)
 
     tprs = np.zeros((nrof_folds, len(thr)))
     fprs = np.zeros((nrof_folds, len(thr)))
     accuracy = np.zeros(nrof_folds)
     best_thresholds = np.zeros(nrof_folds)
-    n_pos = issame.sum()
-    n_neg = (~issame).sum()
 
     for f, (train, test) in enumerate(kfold_indices(n, nrof_folds)):
+        if pca > 0:
+            from sklearn.decomposition import PCA
+            fit = np.concatenate([embeddings1[train], embeddings2[train]],
+                                 axis=0)
+            model = PCA(n_components=pca)
+            model.fit(fit)
+            e1 = model.transform(embeddings1[:n])
+            e2 = model.transform(embeddings2[:n])
+            e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+            e2 /= np.linalg.norm(e2, axis=1, keepdims=True)
+            dist = np.sum(np.square(e1 - e2), axis=1)
+            is_tp, is_fp, correct = masks_for(dist)
         acc_train = correct[:, train].mean(axis=1)
         best = int(np.argmax(acc_train))
         best_thresholds[f] = thr[best]

@@ -261,19 +261,26 @@ class ToRGBLayer(Layer):
 
 @dataclasses.dataclass(frozen=True)
 class SynthesisPrologue(Layer):
-    """``generator.py:94-112``: learned const input -> conv1 -> torgb."""
+    """``generator.py:94-112``: learned const input -> conv1 -> torgb.
+    ``synthesis_layer`` picks the StyleGAN2 or StyleGAN1 layer family
+    (``generator.py:98-99``)."""
 
     out_channels: int
     w_dim: int
     resolution: int
     img_channels: int
+    synthesis_layer: str = "stylegan2"
 
     def _children(self):
+        sl = SynthesisLayer if self.synthesis_layer == "stylegan2" \
+            else SynthesisLayer1
+        trgb = ToRGBLayer if self.synthesis_layer == "stylegan2" \
+            else ToRGBLayer1
         return {
-            "conv1": SynthesisLayer(self.out_channels, self.out_channels,
-                                    self.w_dim, self.resolution),
-            "torgb": ToRGBLayer(self.out_channels, self.img_channels,
-                                self.w_dim),
+            "conv1": sl(self.out_channels, self.out_channels,
+                        self.w_dim, self.resolution),
+            "torgb": trgb(self.out_channels, self.img_channels,
+                          self.w_dim),
         }
 
     def init(self, key):
@@ -304,15 +311,20 @@ class SynthesisBlock(Layer):
     w_dim: int
     resolution: int
     img_channels: int
+    synthesis_layer: str = "stylegan2"
 
     def _children(self):
+        sl = SynthesisLayer if self.synthesis_layer == "stylegan2" \
+            else SynthesisLayer1
+        trgb = ToRGBLayer if self.synthesis_layer == "stylegan2" \
+            else ToRGBLayer1
         return {
-            "conv0": SynthesisLayer(self.in_channels, self.out_channels,
-                                    self.w_dim, self.resolution, up=True),
-            "conv1": SynthesisLayer(self.out_channels, self.out_channels,
-                                    self.w_dim, self.resolution),
-            "torgb": ToRGBLayer(self.out_channels, self.img_channels,
-                                self.w_dim),
+            "conv0": sl(self.in_channels, self.out_channels,
+                        self.w_dim, self.resolution, up=True),
+            "conv1": sl(self.out_channels, self.out_channels,
+                        self.w_dim, self.resolution),
+            "torgb": trgb(self.out_channels, self.img_channels,
+                          self.w_dim),
         }
 
     def init(self, key):
@@ -345,6 +357,7 @@ class SynthesisNetwork(Layer):
     img_channels: int
     channel_base: int = 16384
     channel_max: int = 512
+    synthesis_layer: str = "stylegan2"
 
     @property
     def block_resolutions(self):
@@ -359,10 +372,12 @@ class SynthesisNetwork(Layer):
         res = self.block_resolutions
         chans = channels_for(res, self.channel_base, self.channel_max)
         d = {"first_block": SynthesisPrologue(
-            chans[res[0]], self.w_dim, res[0], self.img_channels)}
+            chans[res[0]], self.w_dim, res[0], self.img_channels,
+            synthesis_layer=self.synthesis_layer)}
         for i, r in enumerate(res[1:]):
             d[f"blocks.{i}"] = SynthesisBlock(
-                chans[r // 2], chans[r], self.w_dim, r, self.img_channels)
+                chans[r // 2], chans[r], self.w_dim, r, self.img_channels,
+                synthesis_layer=self.synthesis_layer)
         return d
 
     def init(self, key):
@@ -396,10 +411,12 @@ class Generator(Layer):
     w_num_layers: int = 8
     img_resolution: int = 256
     img_channels: int = 3
+    synthesis_layer: str = "stylegan2"
 
     def _children(self):
         synth = SynthesisNetwork(self.w_dim, self.img_resolution,
-                                 self.img_channels)
+                                 self.img_channels,
+                                 synthesis_layer=self.synthesis_layer)
         return {
             "synthesis": synth,
             "mapping": MappingNetwork(self.z_dim, self.w_dim,
@@ -471,3 +488,88 @@ class AdaIN(Layer):
         norm, _ = InstanceNorm2d(self.in_channels).apply({}, {}, x, ctx)
         gamma, beta = jnp.split(style, 2, axis=-1)
         return gamma[:, None, None, :] * norm + beta[:, None, None, :], {}
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthesisLayer1(Layer):
+    """StyleGAN1 synthesis conv (``generator.py:208-242``): plain
+    equalized conv -> resample -> noise -> bias/lrelu/clamp -> AdaIN with
+    affine(w) -> (gamma, beta)."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int
+    resolution: int
+    kernel_size: int = 3
+    up: bool = False
+
+    def _children(self):
+        return {"affine": FullyConnectedLayer(self.w_dim,
+                                              self.out_channels * 2,
+                                              bias_init=1.0),
+                "ada_in": AdaIN(self.out_channels)}
+
+    def init(self, key):
+        ka, kw, kn = jax.random.split(key, 3)
+        params, _ = init_child(self._children(), ka)
+        params["weight"] = jax.random.normal(
+            kw, (self.kernel_size, self.kernel_size, self.in_channels,
+                 self.out_channels))
+        params["noise_strength"] = jnp.zeros((1,))
+        params["bias"] = jnp.zeros((self.out_channels,))
+        state = {"noise_const": jax.random.normal(
+            kn, (self.resolution, self.resolution))}
+        return params, state
+
+    def apply(self, params, state, inputs, ctx, noise_mode="random",
+              gain: float = 1.0):
+        x, w = inputs
+        ch = self._children()
+        styles, _ = ch["affine"].apply(params["affine"], {}, w, ctx)
+        wg = 1.0 / math.sqrt(self.in_channels * self.kernel_size ** 2)
+        wk = params["weight"].astype(x.dtype) * wg
+        pad = self.kernel_size // 2
+        x = jax.lax.conv_general_dilated(
+            x, wk, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        if self.up:
+            x = smooth_upsample(x)
+        ns = params["noise_strength"].astype(x.dtype)
+        if noise_mode == "random":
+            x = x + jax.random.normal(
+                ctx.make_rng(), (x.shape[0], self.resolution,
+                                 self.resolution, 1), x.dtype) * ns
+        elif noise_mode == "const":
+            x = x + state["noise_const"].astype(x.dtype)[None, :, :, None] \
+                * ns
+        x = bias_act(x, params["bias"], act="lrelu", gain=gain, clamp=256.0)
+        x, _ = ch["ada_in"].apply({}, {}, (x, styles), ctx)
+        return x, dict(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class ToRGBLayer1(Layer):
+    """``generator.py:160-172``: style-free equalized 1x1 conv + clamp."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int = 512
+    kernel_size: int = 1
+
+    def init(self, key):
+        params = {"weight": jax.random.normal(
+            key, (self.kernel_size, self.kernel_size, self.in_channels,
+                  self.out_channels)),
+            "bias": jnp.zeros((self.out_channels,))}
+        return params, {}
+
+    def apply(self, params, state, inputs, ctx):
+        x, _w = inputs
+        wg = 1.0 / math.sqrt(self.in_channels * self.kernel_size ** 2)
+        wk = params["weight"].astype(x.dtype) * wg
+        x = jax.lax.conv_general_dilated(
+            x, wk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        return jnp.clip(x + params["bias"].astype(x.dtype), -256, 256), {}

@@ -71,6 +71,22 @@ class Stage2Options:
 
 
 @dataclasses.dataclass
+class Stage2TestOptions:
+    """Inference options (``options/test_options.py:10-39``), including
+    the encoder-bootstrapping model pair."""
+
+    exp_dir: str = "./inference"
+    checkpoint_path: Optional[str] = None
+    data_path: Optional[str] = None
+    resize_outputs: bool = True
+    test_batch_size: int = 8
+    n_iters_per_batch: int = 5
+    # encoder bootstrapping (scripts/encoder_bootstrapping_inference.py)
+    model_1_checkpoint_path: Optional[str] = None
+    model_2_checkpoint_path: Optional[str] = None
+
+
+@dataclasses.dataclass
 class Stage3Options:
     """Face-recognition training
     (``configs/config_BUPT_IR_50_AfrAsian.py:7-56``)."""

@@ -129,7 +129,7 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
                     params["bias"] = jnp.asarray(b)
             return params, state
 
-        if isinstance(layer, (ada.SynthesisLayer,)):
+        if isinstance(layer, (ada.SynthesisLayer, ada.SynthesisLayer1)):
             params, state = rec_children(layer, prefix)
             w = get(_join(prefix, "weight"))
             if w is not None:
@@ -143,7 +143,7 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
                 state["noise_const"] = jnp.asarray(nc)
             return params, state
 
-        if isinstance(layer, ada.ToRGBLayer):
+        if isinstance(layer, (ada.ToRGBLayer, ada.ToRGBLayer1)):
             params, state = rec_children(layer, prefix)
             w = get(_join(prefix, "weight"))
             if w is not None:

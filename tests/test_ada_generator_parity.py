@@ -129,3 +129,25 @@ def test_truncation(gen_pair, rng):
                            jnp.asarray(z), nn.Ctx(train=False),
                            truncation_psi=0.7)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_stylegan1_variant_parity(ref_gen_mod, rng):
+    """The generator's StyleGAN1 layer family (generator.py:208-305):
+    plain equalized convs + AdaIN instead of modulated convs."""
+    torch.manual_seed(3)
+    tm = ref_gen_mod.Generator(z_dim=64, w_dim=64, w_num_layers=2,
+                               img_resolution=32, img_channels=3,
+                               synthesis_layer="stylegan1")
+    tm.eval()
+    jm = ada.Generator(z_dim=64, w_dim=64, w_num_layers=2,
+                       img_resolution=32, img_channels=3,
+                       synthesis_layer="stylegan1")
+    params, state = tc.from_torch(jm, tm.state_dict())
+    z = rng.randn(2, 64).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tm(torch.tensor(z))
+    img, _ = jm.apply(params, state, jnp.asarray(z), nn.Ctx(train=False),
+                      noise_mode="const")
+    np.testing.assert_allclose(np.asarray(img),
+                               np.moveaxis(want.numpy(), 1, -1),
+                               rtol=3e-3, atol=3e-3)

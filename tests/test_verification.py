@@ -112,3 +112,14 @@ def test_perform_val_accepts_nchw(rng):
     out = compute_embeddings(fake_embed, arr, batch_size=4, emb_size=8)
     assert out.shape == (10, 8)
     assert all(s == (4, 112, 112, 3) for s in calls)
+
+
+def test_calculate_roc_pca_matches_reference(ref_verif, rng):
+    emb, issame = _fake_embeddings(rng, n_pairs=120, dim=32)
+    thr = np.arange(0, 4, 0.05)
+    want = ref_verif.calculate_roc(thr, emb[0::2], emb[1::2],
+                                   np.asarray(issame), nrof_folds=5, pca=8)
+    got = verification.calculate_roc(thr, emb[0::2], emb[1::2], issame,
+                                     nrof_folds=5, pca=8)
+    np.testing.assert_allclose(got[2], want[2], atol=1e-10)  # accuracy
+    np.testing.assert_allclose(got[3], want[3], atol=1e-10)  # thresholds
