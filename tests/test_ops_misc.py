@@ -178,3 +178,16 @@ class TestFusedResample:
         np.testing.assert_allclose(
             np.asarray(smooth_downsample(x)),
             np.asarray(smooth_downsample_unfused(x)), rtol=1e-5, atol=1e-5)
+
+
+class TestPallasUpsample:
+    def test_matches_xla_fused(self, rng):
+        from stylegan_for_facerec_tpu.ops.upfirdn_pallas import (
+            smooth_upsample_pallas)
+        for shape, th in [((2, 16, 8, 3), 8), ((1, 32, 16, 5), 4),
+                          ((1, 8, 8, 2), 8)]:
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            got = smooth_upsample_pallas(x, tile_h=th)
+            want = smooth_upsample(x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
