@@ -51,6 +51,8 @@ class Stage3Config:
     warmup_batches: int = 0
     freeze_backbone_epochs: int = 3
     sync_bn: bool = False
+    compute_dtype: str = "float32"   # 'bfloat16' casts backbone compute;
+    # params/optimizer/BN statistics/margin+loss math stay float32
 
 
 class Stage3Trainer:
@@ -124,8 +126,18 @@ class Stage3Trainer:
 
     def _loss_fn(self, params, state, images, labels, rng):
         ctx = Ctx(train=True, rng=rng)
+        b_params = params["backbone"]
+        if self.cfg.compute_dtype == "bfloat16":
+            from ..nn import cast_floats
+            b_params = cast_floats(b_params, jnp.bfloat16)
+            images = images.astype(jnp.bfloat16)
         features, new_bstate = self.backbone.apply(
-            params["backbone"], state["backbone"], images, ctx)
+            b_params, state["backbone"], images, ctx)
+        if self.cfg.compute_dtype == "bfloat16":
+            # keep BN running stats in f32 regardless of compute dtype
+            new_bstate = jax.tree_util.tree_map(
+                lambda a, b: a.astype(b.dtype), new_bstate,
+                state["backbone"])
         logits = self._margin_logits(params["head"]["weight"],
                                      features.astype(jnp.float32), labels)
         if self.cfg.loss == "Focal":
