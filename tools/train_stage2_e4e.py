@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Stage-2 ReStyle e4e encoder training CLI — equivalent of
+``scripts/train_restyle_e4e.py`` -> ``Coach(opts).train()``
+(``/root/reference/restyle-encoder/training/coach_restyle_e4e.py``)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source_root", required=True)
+    ap.add_argument("--target_root", default=None)
+    ap.add_argument("--exp_dir", required=True)
+    ap.add_argument("--output_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--n_iters_per_batch", type=int, default=1)
+    ap.add_argument("--max_steps", type=int, default=2_500_000)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--lpips_lambda", type=float, default=0.8)
+    ap.add_argument("--l2_lambda", type=float, default=1.0)
+    ap.add_argument("--w_discriminator_lambda", type=float, default=0.1)
+    ap.add_argument("--delta_norm_lambda", type=float, default=2e-4)
+    ap.add_argument("--progressive_steps", type=int, nargs="*", default=[])
+    ap.add_argument("--d_reg_every", type=int, default=16)
+    ap.add_argument("--stylegan_weights", default=None)
+    ap.add_argument("--lpips_weights", default=None)
+    ap.add_argument("--save_interval", type=int, default=1000)
+    args = ap.parse_args()
+
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.data.images_dataset import ImagesDataset
+    from stylegan_for_facerec_tpu.losses import LPIPS
+    from stylegan_for_facerec_tpu.train.stage2_e4e import (E4eCoach,
+                                                           E4eConfig)
+    from stylegan_for_facerec_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint)
+
+    lpips_fn = None
+    if args.lpips_lambda > 0:
+        lp = LPIPS()
+        if args.lpips_weights:
+            lpp = load_checkpoint(args.lpips_weights)
+        else:
+            print("[warn] no --lpips_weights; using random-init LPIPS")
+            lpp, _ = lp.init(jax.random.key(99))
+        lpips_fn = lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0]
+
+    cfg = E4eConfig(output_size=args.output_size,
+                    n_iters_per_batch=args.n_iters_per_batch,
+                    l2_lambda=args.l2_lambda,
+                    lpips_lambda=args.lpips_lambda,
+                    learning_rate=args.learning_rate,
+                    w_discriminator_lambda=args.w_discriminator_lambda,
+                    delta_norm_lambda=args.delta_norm_lambda,
+                    progressive_steps=tuple(args.progressive_steps),
+                    d_reg_every=args.d_reg_every)
+    coach = E4eCoach(cfg, lpips_fn=lpips_fn)
+    params, state, opt_state, d_params, d_opt = coach.init(
+        jax.random.key(0))
+
+    if args.stylegan_weights:
+        from stylegan_for_facerec_tpu.utils.torch_convert import (
+            from_torch, load_torch_checkpoint)
+        ckpt = load_torch_checkpoint(args.stylegan_weights)
+        sd = ckpt.get("state_dict", ckpt)
+        g_sd = {k[2:]: v for k, v in sd.items() if k.startswith("G.")}
+        dec = coach.model._children()["decoder"]
+        p_dec, s_dec = from_torch(dec, g_sd, strict=False)
+        params["decoder"] = p_dec
+        state["decoder"] = s_dec
+
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=100_000)
+    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+    os.makedirs(args.exp_dir, exist_ok=True)
+    np.save(os.path.join(args.exp_dir, "avg_image.npy"),
+            np.asarray(avg_image))
+
+    ds = ImagesDataset(args.source_root,
+                       args.target_root or args.source_root)
+    print(f"[data] {len(ds)} pairs")
+    mgr = CheckpointManager(args.exp_dir)
+
+    step = 0
+    cur_stage = -1
+    key = jax.random.key(3)
+    while step < args.max_steps:
+        order = np.random.permutation(len(ds))
+        for i in range(0, len(order) - args.batch_size + 1,
+                       args.batch_size):
+            if cfg.progressive_steps:
+                stage = coach.stage_for_step(step)
+                if stage != cur_stage:
+                    coach.set_stage(stage)
+                    cur_stage = stage
+                    print(f"[progressive] stage -> {stage}")
+            batch = [ds[j] for j in order[i: i + args.batch_size]]
+            x = jnp.asarray(np.stack([b[0] for b in batch]))
+            y = jnp.asarray(np.stack([b[1] for b in batch]))
+            key, k1, k2 = jax.random.split(key, 3)
+            params, opt_state, loss, logs, y_hat, latent = \
+                coach.train_step(params, state, opt_state, x, y, avg_image,
+                                 k1, d_params)
+            if cfg.w_discriminator_lambda > 0:
+                d_params, d_opt, d_loss = coach.train_discriminator(
+                    params, state, d_params, d_opt, latent, k2, step)
+            if step % 50 == 0:
+                print(f"step {step} " + " ".join(
+                    f"{k3} {float(v):.4f}" for k3, v in logs.items()))
+            if step % args.save_interval == 0 and step > 0:
+                mgr.save(step, {"params": params, "state": state,
+                                "d_params": d_params},
+                         metric=float(loss))
+            step += 1
+            if step >= args.max_steps:
+                break
+
+
+if __name__ == "__main__":
+    main()
