@@ -65,8 +65,8 @@ def _local_margin_ce(features, weight_shard, labels, *, num_classes,
 
     # numerically-stable cross-shard softmax CE. The max shift cancels in
     # log-sum-exp, so stop_gradient is exact (pmax has no VJP anyway):
-    local_max = jnp.max(logits, axis=1)
-    gmax = lax.stop_gradient(lax.pmax(local_max, model_axis))
+    local_max = lax.stop_gradient(jnp.max(logits, axis=1))
+    gmax = lax.pmax(local_max, model_axis)
     exp = jnp.exp(logits - gmax[:, None])
     denom = lax.psum(jnp.sum(exp, axis=1), model_axis)
     target_logit = lax.psum(jnp.sum(logits * one_hot, axis=1), model_axis)
