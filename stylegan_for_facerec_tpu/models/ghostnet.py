@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -22,9 +22,6 @@ ema params).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ update is a single fused optimizer application.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

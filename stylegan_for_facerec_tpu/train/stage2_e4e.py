@@ -13,14 +13,13 @@ same refinement skeleton as the pSp coach plus
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.e4e import (E4e, LatentCodesDiscriminator, LatentCodesPool,
-                          ProgressiveBackboneEncoder)
+from ..models.e4e import E4e, LatentCodesDiscriminator, LatentCodesPool
 from ..nn import Ctx
 from .stage2 import Stage2Coach, Stage2Config
 

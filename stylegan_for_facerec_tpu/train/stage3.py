@@ -18,12 +18,11 @@ Maps the reference's pieces onto TPU idioms:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..losses.focal import focal_loss, softmax_cross_entropy, topk_accuracy
 from ..models.heads import arcface_margin, cosface_margin
