@@ -52,6 +52,9 @@ class Stage3Config:
     sync_bn: bool = False
     compute_dtype: str = "float32"   # 'bfloat16' casts backbone compute;
     # params/optimizer/BN statistics/margin+loss math stay float32
+    remat: bool = False              # jax.checkpoint the backbone forward
+    # (rematerialize activations in backward: trades ~1/3 more FLOPs for
+    # activation memory, enabling much larger per-chip batches)
 
 
 class Stage3Trainer:
@@ -130,8 +133,12 @@ class Stage3Trainer:
             from ..nn import cast_floats
             b_params = cast_floats(b_params, jnp.bfloat16)
             images = images.astype(jnp.bfloat16)
-        features, new_bstate = self.backbone.apply(
-            b_params, state["backbone"], images, ctx)
+        def backbone_fwd(p, s, imgs):
+            return self.backbone.apply(p, s, imgs, ctx)
+        if self.cfg.remat:
+            backbone_fwd = jax.checkpoint(backbone_fwd)
+        features, new_bstate = backbone_fwd(b_params, state["backbone"],
+                                            images)
         if self.cfg.compute_dtype == "bfloat16":
             # keep BN running stats in f32 regardless of compute dtype
             new_bstate = jax.tree_util.tree_map(

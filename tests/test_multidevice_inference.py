@@ -1,0 +1,67 @@
+"""Data-parallel inference over the mesh: generator synthesis and backbone
+embedding with batch sharding produce single-device-identical outputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.models import irse, stylegan2_ada as ada
+from stylegan_for_facerec_tpu.parallel import make_mesh
+
+
+def test_generator_dp_inference(rng, devices):
+    mesh = make_mesh(data=8, model=1)
+    g = ada.Generator(z_dim=32, w_dim=32, w_num_layers=2, img_resolution=16)
+    params, state = g.init(jax.random.key(0))
+    z = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+
+    @jax.jit
+    def synth(params, state, z):
+        img, _ = g.apply(params, state, z, nn.Ctx(train=False),
+                         noise_mode="const")
+        return img
+
+    want = synth(params, state, z)
+    with mesh:
+        zs = jax.device_put(z, NamedSharding(mesh, P("data", None)))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        ss = jax.device_put(state, NamedSharding(mesh, P()))
+        got = synth(ps, ss, zs)
+        assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stage3_remat_matches(rng):
+    from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
+
+    class Tiny(irse.Backbone):
+        def _children(self):
+            ch = super()._children()
+            blocks = [(64, 64, 2), (64, 128, 2), (128, 256, 2),
+                      (256, 512, 2)]
+            ch["body"] = nn.Sequential(
+                *[irse.BottleneckIR(i, d, s) for i, d, s in blocks])
+            return ch
+
+    x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 32, 8))
+    outs = []
+    for remat in (False, True):
+        bb = Tiny(input_size=32, num_layers=50, emb_size=64)
+        cfg = Stage3Config(emb_size=64, num_classes=32, remat=remat,
+                           freeze_backbone_epochs=0)
+        tr = Stage3Trainer(bb, cfg, steps_per_epoch=10)
+        params, state, opt = tr.init(jax.random.key(0))
+        mask = tr.freeze_mask(params, frozen=False)
+        p2, _, _, m = tr.train_step(params, state, opt, x, y,
+                                    jax.random.key(1),
+                                    jnp.zeros((), jnp.int32), mask)
+        outs.append((float(m["loss"]),
+                     np.asarray(p2["head"]["weight"])))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4,
+                               atol=1e-6)
