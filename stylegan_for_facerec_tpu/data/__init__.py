@@ -1,4 +1,4 @@
-from . import dataset, images_dataset, randaugment
+from . import dataset, images_dataset, randaugment, registry
 from .dataset import DataLoader, FacesDataset, device_augment
 from .images_dataset import GTResDataset, ImagesDataset, InferenceDataset
 from .randaugment import RandAugment

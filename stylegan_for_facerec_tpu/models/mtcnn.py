@@ -485,6 +485,20 @@ class MTCNN:
                                          crop_size=(112, 112))
         return Image.fromarray(warped), tfm
 
+    @staticmethod
+    def show_bboxes(img, bounding_boxes, facial_landmarks=()):
+        """``mtcnn_pytorch/src/visualization_utils.py``: draw detections."""
+        from PIL import ImageDraw
+        img = img.copy()
+        draw = ImageDraw.Draw(img)
+        for b in bounding_boxes:
+            draw.rectangle([(b[0], b[1]), (b[2], b[3])], outline="white")
+        for lm in facial_landmarks:
+            for i in range(5):
+                draw.ellipse([(lm[i] - 1, lm[i + 5] - 1),
+                              (lm[i] + 1, lm[i + 5] + 1)], outline="blue")
+        return img
+
     def align_multi(self, img, limit=None, min_face_size=30.0):
         """``mtcnn.py:31-43``."""
         from PIL import Image
