@@ -277,6 +277,70 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
     return rec(layer, prefix)
 
 
+def to_torch(layer: Layer, params, state=None, prefix: str = "",
+             flatten_info: Optional[Mapping[str, Tuple[int, int, int]]]
+             = None) -> dict:
+    """Inverse of ``from_torch``: emit a torch-layout flat state_dict
+    (numpy arrays) from our (params, state) trees — enables exporting
+    trained models back to the reference toolchain. Covers the layer
+    classes used by the backbones/generators; BN running stats come from
+    ``state``."""
+    import numpy as _np
+    flatten_info = flatten_info or {}
+    state = state or {}
+    out = {}
+
+    def put(key, arr):
+        out[key] = _np.asarray(arr)
+
+    def rec(layer, params, state, prefix):
+        if isinstance(layer, Conv2d):
+            put(_join(prefix, "weight"),
+                np.transpose(np.asarray(params["weight"]), (3, 2, 0, 1)))
+            if layer.use_bias and "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
+        if isinstance(layer, Linear):
+            w = np.asarray(params["weight"])
+            if prefix in flatten_info:
+                h, wd, c = flatten_info[prefix]
+                o = w.shape[1]
+                w = w.reshape(h, wd, c, o).transpose(3, 2, 0, 1)
+                w = w.reshape(o, c * h * wd)
+            else:
+                w = w.T
+            put(_join(prefix, "weight"), w)
+            if layer.use_bias and "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
+        if isinstance(layer, BatchNorm):
+            if layer.affine:
+                put(_join(prefix, "weight"), params["weight"])
+                put(_join(prefix, "bias"), params["bias"])
+            if state:
+                put(_join(prefix, "running_mean"), state["mean"])
+                put(_join(prefix, "running_var"), state["var"])
+                put(_join(prefix, "num_batches_tracked"),
+                    _np.asarray(0, dtype=_np.int64))
+            return
+        if isinstance(layer, PReLU):
+            put(_join(prefix, "weight"), params["weight"])
+            return
+        if isinstance(layer, (ada.FullyConnectedLayer, sg2.EqualLinear)):
+            put(_join(prefix, "weight"), params["weight"])
+            if "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
+        # generic container
+        ch = iter_children(layer)
+        for name, child in ch.items():
+            rec(child, params.get(name, {}), state.get(name, {}),
+                _join(prefix, name))
+
+    rec(layer, params, state, prefix)
+    return out
+
+
 def head_params_from_torch(sd: Mapping[str, "object"]) -> dict:
     """Margin-head weights: torch (C, D) == our 'oi' layout, no transpose;
     Am_softmax ``kernel`` is (D, C), also kept as-is."""

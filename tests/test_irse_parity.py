@@ -91,3 +91,21 @@ def test_full_ir50_embedding_parity(ref_irse, rng):
         want = tm(torch.tensor(to_nchw(x))).numpy()
     got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_roundtrip_export_to_torch(ref_irse, rng):
+    """jax -> torch export (to_torch) loads cleanly into the reference
+    model and reproduces our embeddings."""
+    jm = irse.IR_50(112)
+    params, state = jm.init(jax.random.key(5))
+    sd = tc.to_torch(jm, params, state,
+                     flatten_info={"output_layer.3": (7, 7, 512)})
+    tm = ref_irse.IR_50([112, 112])
+    missing = tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=True)
+    tm.eval()
+    x = rng.randn(1, 112, 112, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
