@@ -150,19 +150,22 @@ class Stage3Trainer:
             loss = focal_loss(logits, labels)
         else:
             loss = softmax_cross_entropy(logits, labels)
+        # prec@1/@5 as the reference's per-batch metrics (train.py:306-311)
         acc = topk_accuracy(logits, labels, 1)
-        return loss, ({"backbone": new_bstate}, acc)
+        acc5 = topk_accuracy(logits, labels, 5)
+        return loss, ({"backbone": new_bstate}, (acc, acc5))
 
     def _train_step(self, params, state, opt_state, images, labels, rng,
                     step, grad_mask):
-        (loss, (new_state, acc)), grads = jax.value_and_grad(
+        (loss, (new_state, (acc, acc5))), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, state, images, labels, rng)
         if grad_mask is not None:
             grads = optim.apply_grad_mask(grads, grad_mask)
         updates, new_opt_state = self.tx.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates)
-        metrics = {"loss": loss, "top1": acc, "lr": self.schedule(step)}
+        metrics = {"loss": loss, "top1": acc, "top5": acc5,
+                   "lr": self.schedule(step)}
         return new_params, new_state, new_opt_state, metrics
 
     def _embed_step(self, params, state, images):
