@@ -152,13 +152,22 @@ class DataLoader:
             return imgs, labels
 
         stop = object()
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for b in range(nb):
+                    if abandoned.is_set():
+                        return
                     q.put(make_batch(b))
+            except Exception as e:       # early consumer exit shut the pool
+                if not abandoned.is_set():
+                    raise
             finally:
-                q.put(stop)
+                try:
+                    q.put_nowait(stop)
+                except queue_mod.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -169,6 +178,7 @@ class DataLoader:
                     break
                 yield item
         finally:
+            abandoned.set()
             pool.shutdown(wait=False)
 
 
