@@ -32,6 +32,7 @@ _LPIPS_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
 _LPIPS_STD = np.array([0.458, 0.448, 0.450], np.float32)
 
 ALEX_CHANNELS = (64, 192, 384, 256, 256)
+VGG_CHANNELS = (64, 128, 256, 512, 512)
 
 
 def normalize_activation(x: jax.Array, eps: float = 1e-10) -> jax.Array:
@@ -85,21 +86,65 @@ class AlexNetFeatures(Layer):
 
 
 @dataclasses.dataclass(frozen=True)
+class VGG16Features(Layer):
+    """torchvision ``vgg16().features`` in NHWC; five unit-normalized taps
+    after ReLUs 4/9/16/23/30 (``networks.py:85-95``)."""
+
+    # conv layer indices in the torchvision features Sequential, grouped by
+    # pooling stage; taps come after the last ReLU of each stage
+    _CFG = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28))
+    _CHANNELS = ((3, 64, 64), (64, 128, 128), (128, 256, 256, 256),
+                 (256, 512, 512, 512), (512, 512, 512, 512))
+
+    def _children(self):
+        d = {}
+        for stage, idxs in enumerate(self._CFG):
+            chans = self._CHANNELS[stage]
+            for j, idx in enumerate(idxs):
+                d[str(idx)] = Conv2d(chans[j], chans[j + 1], 3, padding=1,
+                                     init_mode="torch_default")
+        return d
+
+    def init(self, key):
+        return init_child(self._children(), key)
+
+    def apply(self, params, state, x, ctx):
+        ch = self._children()
+        pool = MaxPool2d(2, 2)
+        taps = []
+        for stage, idxs in enumerate(self._CFG):
+            if stage > 0:
+                x, _ = pool.apply({}, {}, x, ctx)
+            for idx in idxs:
+                x, _ = ch[str(idx)].apply(params[str(idx)], {}, x, ctx)
+                x = jnp.maximum(x, 0)
+            taps.append(normalize_activation(x))
+        return taps, {}
+
+
+@dataclasses.dataclass(frozen=True)
 class LPIPS(Layer):
     """apply() inputs (x, y) in [-1, 1] NHWC; returns scalar LPIPS."""
 
     net_type: str = "alex"
 
+    @property
+    def _channels(self):
+        return ALEX_CHANNELS if self.net_type == "alex" else VGG_CHANNELS
+
     def _children(self):
-        assert self.net_type == "alex", "alex is the reference default"
-        return {"net": AlexNetFeatures()}
+        if self.net_type == "alex":
+            return {"net": AlexNetFeatures()}
+        if self.net_type == "vgg":
+            return {"net": VGG16Features()}
+        raise ValueError(f"net_type {self.net_type!r}: alex|vgg")
 
     def init(self, key):
         kn, kl = jax.random.split(key)
         params, state = init_child(self._children(), kn)
         lins = {}
-        lkeys = jax.random.split(kl, len(ALEX_CHANNELS))
-        for i, (c, k) in enumerate(zip(ALEX_CHANNELS, lkeys)):
+        lkeys = jax.random.split(kl, len(self._channels))
+        for i, (c, k) in enumerate(zip(self._channels, lkeys)):
             # frozen 1x1 conv, no bias (networks.py:23-30); keep positive
             # init so random-weight tests produce positive scores
             lins[f"lin.{i}"] = {"weight": jnp.abs(

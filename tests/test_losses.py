@@ -117,3 +117,57 @@ def test_lpips_grad_flows(rng):
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_lpips_vgg_parity(rng):
+    """VGG16-backbone LPIPS vs a torch-primitive oracle (same recipe as the
+    alexnet test; taps after ReLUs 4/9/16/23/30)."""
+    from stylegan_for_facerec_tpu.losses.perceptual import VGG16Features
+    torch.manual_seed(1)
+    cfg = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28))
+    chans = ((3, 64, 64), (64, 128, 128), (128, 256, 256, 256),
+             (256, 512, 512, 512), (512, 512, 512, 512))
+    tconvs = {}
+    for stage, idxs in enumerate(cfg):
+        cs = chans[stage]
+        for j, idx in enumerate(idxs):
+            tconvs[idx] = tnn.Conv2d(cs[j], cs[j + 1], 3, padding=1)
+    lin_w = [torch.rand(1, c, 1, 1) * 0.1
+             for c in (64, 128, 256, 512, 512)]
+
+    def torch_feats(t):
+        mean = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+        std = torch.tensor([.458, .448, .450])[None, :, None, None]
+        t = (t - mean) / std
+        taps = []
+        for stage, idxs in enumerate(cfg):
+            if stage > 0:
+                t = F.max_pool2d(t, 2, 2)
+            for idx in idxs:
+                t = F.relu(tconvs[idx](t))
+            n = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+            taps.append(t / (n + 1e-10))
+        return taps
+
+    x = rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    y = rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        fx = torch_feats(torch.tensor(to_nchw(x)))
+        fy = torch_feats(torch.tensor(to_nchw(y)))
+        res = [F.conv2d((a - b) ** 2, w).mean((2, 3), True)
+               for a, b, w in zip(fx, fy, lin_w)]
+        want = (torch.sum(torch.cat(res, 0)) / 1).item()
+
+    jm = LPIPS(net_type="vgg")
+    params = {"net": {}}
+    for idx, conv in tconvs.items():
+        params["net"][str(idx)] = {
+            "weight": jnp.asarray(np.transpose(
+                conv.weight.detach().numpy(), (2, 3, 1, 0))),
+            "bias": jnp.asarray(conv.bias.detach().numpy())}
+    for i, w in enumerate(lin_w):
+        params[f"lin.{i}"] = {"weight": jnp.asarray(
+            np.transpose(w.numpy(), (2, 3, 1, 0)))}
+    got, _ = jm.apply(params, {}, (jnp.asarray(x), jnp.asarray(y)),
+                      nn.Ctx())
+    np.testing.assert_allclose(float(got), want, rtol=1e-3, atol=1e-5)
