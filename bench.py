@@ -87,9 +87,16 @@ def main():
         e, _ = m.apply(mp, ms, x, nn.Ctx(train=False))
         return x + 1e-6 * jnp.mean(e) * jnp.ones_like(x)
 
-    x0 = jnp.asarray(rng.randn(bs_e, 112, 112, 3), dtype)
-    dt_e = scan_time_per_iter(embed_step, x0)
-    embed_ips = bs_e / dt_e
+    # secondary metric is best-effort: never lose the primary result to a
+    # failure/timeout here (cold remote compiles can take minutes)
+    embed_ips = None
+    try:
+        x0 = jnp.asarray(rng.randn(bs_e, 112, 112, 3), dtype)
+        dt_e = scan_time_per_iter(embed_step, x0)
+        embed_ips = round(bs_e / dt_e, 1)
+    except Exception as e:  # pragma: no cover
+        import sys
+        print(f"[bench] embed extra failed: {e}", file=sys.stderr)
 
     per_chip_target = 5000.0 / 8.0  # BASELINE.md: 5k imgs/s on v5p-8
     result = {
@@ -98,7 +105,7 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(synth_ips / per_chip_target, 3),
         "extras": {
-            "ir_se_50_embed_imgs_per_sec": round(embed_ips, 1),
+            "ir_se_50_embed_imgs_per_sec": embed_ips,
             "synthesis_batch": bs_g,
             "embed_batch": bs_e,
             "dtype": "bfloat16",
