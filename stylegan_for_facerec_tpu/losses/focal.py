@@ -52,7 +52,9 @@ def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 def topk_accuracy(logits: jax.Array, labels: jax.Array, k: int = 1)\
         -> jax.Array:
-    """``util/utils.py:343-358`` accuracy; returns fraction in [0, 1]."""
+    """``util/utils.py:343-358`` accuracy; returns fraction in [0, 1].
+    k is clamped to the class count (tiny-class-count debug runs)."""
+    k = min(k, logits.shape[-1])
     _, idx = jax.lax.top_k(logits, k)
     hit = jnp.any(idx == labels[:, None], axis=-1)
     return jnp.mean(hit.astype(jnp.float32))
