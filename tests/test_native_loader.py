@@ -68,3 +68,17 @@ def test_make_loader_fallback(faces_root, monkeypatch):
     ds = FacesDataset(faces_root)
     dl = native_loader.make_loader(ds, batch_size=4)
     assert isinstance(dl, DataLoader)
+
+
+def test_native_loader_many_epochs_stress(lib_available, faces_root):
+    """Repeated epoch resets with multiple workers: no deadlock, stable
+    batch counts, all finite."""
+    ds = FacesDataset(faces_root)
+    dl = native_loader.NativeDataLoader(ds, batch_size=5, shuffle=True,
+                                        num_workers=5, seed=11)
+    for epoch in range(6):
+        n = 0
+        for imgs, labels in dl:
+            assert np.isfinite(imgs).all()
+            n += 1
+        assert n == len(ds) // 5

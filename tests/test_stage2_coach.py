@@ -78,3 +78,31 @@ def test_refinement_iterations_differ(coach, setup, rng):
                                     jax.random.key(5))
     # 2-iter total loss is the sum of two different per-iter losses
     assert float(l2) != pytest.approx(float(l1))
+
+
+def test_train_decoder_updates_generator(rng):
+    cfg = Stage2Config(output_size=32, n_iters_per_batch=1,
+                       lpips_lambda=0.0, target_size=32,
+                       train_decoder=True)
+    c = Stage2Coach(cfg)
+    params, state, opt_state = c.init(jax.random.key(0))
+    state = c.estimate_latent_avg(params, state, jax.random.key(1),
+                                  n_latent=32)
+    avg = c.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    # NOTE: the mapping network is unused in pSp forward (codes come from
+    # the encoder + latent_avg), so only SYNTHESIS params receive grads
+    dec_before = jax.tree_util.tree_leaves(
+        params["decoder"]["synthesis"])[0]
+    map_before = jax.tree_util.tree_leaves(params["decoder"]["mapping"])[0]
+    new_params, _, loss, _, _ = c.train_step(params, state, opt_state, x,
+                                             x, avg, jax.random.key(3))
+    dec_after = jax.tree_util.tree_leaves(
+        new_params["decoder"]["synthesis"])[0]
+    map_after = jax.tree_util.tree_leaves(
+        new_params["decoder"]["mapping"])[0]
+    assert np.isfinite(float(loss))
+    # Ranger's first-step updates are ~lr=1e-4 scale: exact inequality
+    assert np.any(np.asarray(dec_before) != np.asarray(dec_after))
+    np.testing.assert_array_equal(np.asarray(map_before),
+                                  np.asarray(map_after))
