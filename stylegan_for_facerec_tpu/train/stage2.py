@@ -17,6 +17,12 @@ Key semantics preserved:
 TPU-first: the whole refinement loop compiles into ONE jitted step
 (unrolled n_iters, static), the generator runs in bf16, and the encoder
 update is a single fused optimizer application.
+
+Multi-chip: the reference trains stage 2 with multi-GPU DataParallel
+(``coach_restyle_psp.py:134-136``, ``options/train_options.py`` --n_gpus).
+Here pass ``mesh=`` — the batch shards over the 'data' axis, encoder and
+frozen generator replicate, and XLA inserts the gradient all-reduce over
+ICI from the sharding annotations.
 """
 
 from __future__ import annotations
@@ -26,11 +32,13 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ..models.psp import PSp
 from ..nn import Ctx
 from ..ops.image import resize_bilinear
 from ..losses.identity import w_norm_loss
+from ..parallel import mesh as mesh_lib
 from . import optim
 
 
@@ -60,8 +68,10 @@ class Stage2Coach:
 
     def __init__(self, cfg: Stage2Config,
                  lpips_fn: Optional[Callable] = None,
-                 id_loss_fn: Optional[Callable] = None):
+                 id_loss_fn: Optional[Callable] = None,
+                 mesh: Optional[Mesh] = None):
         self.cfg = cfg
+        self.mesh = mesh
         self.model = PSp(output_size=cfg.output_size, input_nc=cfg.input_nc)
         self.lpips_fn = lpips_fn
         self.id_loss_fn = id_loss_fn
@@ -77,6 +87,11 @@ class Stage2Coach:
     def init(self, key):
         params, state = self.model.init(key)
         opt_state = self.tx.init(self._trainable(params))
+        if self.mesh is not None:
+            rep = mesh_lib.replicated(self.mesh)
+            params = jax.device_put(params, rep)
+            state = jax.device_put(state, rep)
+            opt_state = jax.device_put(opt_state, rep)
         return params, state, opt_state
 
     def _trainable(self, params):
@@ -96,6 +111,8 @@ class Stage2Coach:
         avg = dec.mean_latent(params["decoder"], state["decoder"], key,
                               n_latent)
         new_state = dict(state)
+        if self.mesh is not None:
+            avg = jax.device_put(avg, mesh_lib.replicated(self.mesh))
         new_state["latent_avg"] = avg
         return new_state
 
@@ -183,6 +200,7 @@ class Stage2Coach:
     def train_step(self, params, state, opt_state, x, y, avg_image, rng):
         """x: (B,112,112,3) source; y: (B,112,112,3) target (both [-1,1]).
         Returns (new_params, new_opt_state, loss, logs, y_hat)."""
+        x, y = self._shard_batch(x, y)
         trainable = self._trainable(params)
         new_trainable, new_opt, loss, logs, y_hat = self._jit_train_step(
             trainable, params, state, opt_state, x, y, avg_image, rng)
@@ -192,6 +210,14 @@ class Stage2Coach:
     def validate_batch(self, params, state, x, y, avg_image, rng):
         """Step-0-style validation (coach:182-214): refinement without
         grads, returns logs of the final iteration."""
+        x, y = self._shard_batch(x, y)
         loss, (y_hat, latent, logs) = self._refinement_losses(
             self._trainable(params), params, state, x, y, avg_image, rng)
         return loss, logs, y_hat
+
+    def _shard_batch(self, *arrays):
+        """Place per-example arrays batch-sharded over the 'data' axis."""
+        if self.mesh is None:
+            return arrays
+        bs = mesh_lib.batch_sharding(self.mesh)
+        return tuple(jax.device_put(a, bs) for a in arrays)

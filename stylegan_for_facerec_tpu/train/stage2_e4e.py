@@ -39,8 +39,10 @@ class E4eConfig(Stage2Config):
 
 
 class E4eCoach(Stage2Coach):
-    def __init__(self, cfg: E4eConfig, lpips_fn=None, id_loss_fn=None):
-        super().__init__(cfg, lpips_fn=lpips_fn, id_loss_fn=id_loss_fn)
+    def __init__(self, cfg: E4eConfig, lpips_fn=None, id_loss_fn=None,
+                 mesh=None):
+        super().__init__(cfg, lpips_fn=lpips_fn, id_loss_fn=id_loss_fn,
+                         mesh=mesh)
         self.cfg = cfg
         self.model = E4e(output_size=cfg.output_size,
                          input_nc=cfg.input_nc)
@@ -54,7 +56,13 @@ class E4eCoach(Stage2Coach):
         k1, k2 = jax.random.split(key)
         params, state, opt_state = super().init(k1)
         d_params, _ = self.discriminator.init(k2)
-        return params, state, opt_state, d_params, self.tx_d.init(d_params)
+        d_opt = self.tx_d.init(d_params)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(self.mesh)
+            d_params = jax.device_put(d_params, rep)
+            d_opt = jax.device_put(d_opt, rep)
+        return params, state, opt_state, d_params, d_opt
 
     def set_stage(self, stage: int):
         """Progressive schedule hook (coach_restyle_e4e.py:480-485)."""
@@ -124,6 +132,7 @@ class E4eCoach(Stage2Coach):
 
     def train_step(self, params, state, opt_state, x, y, avg_image, rng,
                    d_params=None):
+        x, y = self._shard_batch(x, y)
         trainable = self._trainable(params)
         new_trainable, new_opt, loss, logs, y_hat, latent = \
             self._jit_train_step(trainable, params, state, opt_state, x, y,
@@ -178,6 +187,7 @@ class E4eCoach(Stage2Coach):
         fake_np = self.pool.query(np.asarray(
             jax.lax.stop_gradient(latent)))
         fake_w = jnp.asarray(fake_np)
+        real_w, fake_w = self._shard_batch(real_w, fake_w)
         do_r1 = (step % self.cfg.d_reg_every) == 0
         return self._jit_d_step(d_params, d_opt, real_w, fake_w,
                                 do_r1=do_r1)

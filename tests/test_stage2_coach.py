@@ -80,6 +80,41 @@ def test_refinement_iterations_differ(coach, setup, rng):
     assert float(l2) != pytest.approx(float(l1))
 
 
+def test_stage2_sharded_matches_single(coach, setup, rng):
+    """Mesh-parallel stage-2 (batch over 'data', replicated params) must be
+    numerically identical to the single-device step — the TPU replacement
+    for the reference's multi-GPU DataParallel coach
+    (coach_restyle_psp.py:134-136)."""
+    from stylegan_for_facerec_tpu.parallel import make_mesh
+    from stylegan_for_facerec_tpu.train import Stage2Coach
+
+    params, state, opt_state = setup
+    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+
+    ref_params, ref_opt, ref_loss, ref_logs, ref_yhat = coach.train_step(
+        params, state, opt_state, x, y, avg_image, jax.random.key(3))
+
+    mesh = make_mesh(data=4, model=2)
+    mcoach = Stage2Coach(coach.cfg, mesh=mesh)
+    with mesh:
+        mp = jax.device_put(params)
+        ms = jax.device_put(state)
+        mo = jax.device_put(opt_state)
+        m_params, m_opt, m_loss, m_logs, m_yhat = mcoach.train_step(
+            mp, ms, mo, x, y, avg_image, jax.random.key(3))
+
+    np.testing.assert_allclose(float(m_loss), float(ref_loss),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_yhat), np.asarray(ref_yhat),
+                               rtol=1e-4, atol=1e-4)
+    ref_leaf = jax.tree_util.tree_leaves(ref_params["encoder"])[0]
+    m_leaf = jax.tree_util.tree_leaves(m_params["encoder"])[0]
+    np.testing.assert_allclose(np.asarray(m_leaf), np.asarray(ref_leaf),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_train_decoder_updates_generator(rng):
     cfg = Stage2Config(output_size=32, n_iters_per_batch=1,
                        lpips_lambda=0.0, target_size=32,
