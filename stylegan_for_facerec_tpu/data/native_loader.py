@@ -29,7 +29,7 @@ def _build_library() -> Optional[str]:
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= src_mtime:
         return so_path
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", so_path, "-ljpeg", "-lpthread"]
+           _SRC, "-o", so_path, "-ljpeg", "-lpng", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return so_path
@@ -113,14 +113,16 @@ class NativeDataLoader:
         s = self.ds.image_size
         images = np.empty((self.batch_size, s, s, 3), np.float32)
         labels = np.empty((self.batch_size,), np.int32)
-        try:
-            while lib.fl_next(
-                    self._handle,
-                    images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))):
-                yield images.copy(), labels.copy()
-        finally:
-            pass
+        while True:
+            # fl_next returns the REAL item count; a ragged drop_last=False
+            # tail is trimmed so the contract matches the Python DataLoader
+            n = lib.fl_next(
+                self._handle,
+                images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if n <= 0:
+                break
+            yield images[:n].copy(), labels[:n].copy()
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:
@@ -128,10 +130,20 @@ class NativeDataLoader:
             self._handle = None
 
 
+_NATIVE_EXTS = (".jpg", ".jpeg", ".png")
+
+
 def make_loader(dataset: FacesDataset, batch_size: int, **kw):
-    """Prefer the native loader; fall back to the Python one."""
-    try:
-        return NativeDataLoader(dataset, batch_size, **kw)
-    except (RuntimeError, OSError):
-        from .dataset import DataLoader
-        return DataLoader(dataset, batch_size, **kw)
+    """Prefer the native loader; fall back to the Python one — also when
+    the file list contains formats the C++ decoder does not handle (it
+    decodes JPEG + PNG; anything else would be mis-treated as corrupt and
+    silently resampled, skewing the training distribution)."""
+    supported = all(f.lower().endswith(_NATIVE_EXTS)
+                    for f in dataset.filenames)
+    if supported:
+        try:
+            return NativeDataLoader(dataset, batch_size, **kw)
+        except (RuntimeError, OSError):
+            pass
+    from .dataset import DataLoader
+    return DataLoader(dataset, batch_size, **kw)

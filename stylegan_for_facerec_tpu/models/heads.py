@@ -266,7 +266,10 @@ class CurricularFace(Layer):
         sin_t = jnp.sqrt(jnp.clip(1.0 - target ** 2, 0, 1))
         cos_t_m = target * cos_m - sin_t * sin_m
         phi = jnp.where(target > th, cos_t_m, target - mm)
-        t_new = 0.99 * state["t"] + 0.01 * jnp.mean(target)
+        # the reference updates t under torch.no_grad() (metrics.py:497);
+        # stop_gradient blocks the extra grad path through the EMA statistic
+        t_new = jax.lax.stop_gradient(
+            0.99 * state["t"] + 0.01 * jnp.mean(target))
         hard = jnp.where(cosine > cos_t_m, cosine * (t_new + cosine), cosine)
         out = one_hot * phi + (1 - one_hot) * hard
         return out * self.s, {"t": t_new}

@@ -1,4 +1,4 @@
-// fastloader — native multi-threaded JPEG decode + resize + normalize
+// fastloader — native multi-threaded JPEG/PNG decode + resize + normalize
 // batch pipeline.
 //
 // TPU-native counterpart of the reference's torch DataLoader fork workers
@@ -16,6 +16,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -77,6 +78,43 @@ bool decode_jpeg(const std::string &path, std::vector<uint8_t> &rgb,
   return true;
 }
 
+// decode a PNG file into RGB8 via the libpng simplified API; returns false
+// on any error (FacesDataset globs *.png too — dataset.py:28-41 accepts
+// both, so the native path must as well)
+bool decode_png(const std::string &path, std::vector<uint8_t> &rgb,
+                int &width, int &height) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path.c_str())) return false;
+  image.format = PNG_FORMAT_RGB;
+  rgb.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, rgb.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  width = static_cast<int>(image.width);
+  height = static_cast<int>(image.height);
+  return width > 0 && height > 0;
+}
+
+// dispatch on magic bytes (extensions lie; the reference's PIL open does
+// content sniffing too)
+bool decode_image(const std::string &path, std::vector<uint8_t> &rgb,
+                  int &width, int &height) {
+  FILE *f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t got = fread(magic, 1, sizeof(magic), f);
+  fclose(f);
+  if (got >= 8 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
+      magic[3] == 'G')
+    return decode_png(path, rgb, width, height);
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
+    return decode_jpeg(path, rgb, width, height);
+  return false;
+}
+
 // bilinear sample with half-pixel centers (matches PIL/torch
 // align_corners=False up-path used by the python loader)
 inline float lerp_sample(const uint8_t *img, int w, int h, int c, float fx,
@@ -127,6 +165,7 @@ void resize_normalize(const std::vector<uint8_t> &rgb, int w, int h, int S,
 
 struct Batch {
   size_t index = 0;
+  size_t valid = 0;  // real item count (< batch_size only for the tail)
   std::vector<float> images;
   std::vector<int32_t> labels;
 };
@@ -176,7 +215,7 @@ struct Loader {
     std::vector<uint8_t> rgb;
     int w, h;
     for (int attempt = 0; attempt < 10; ++attempt) {
-      if (decode_jpeg(paths[idx], rgb, w, h) && w > 0 && h > 0) {
+      if (decode_image(paths[idx], rgb, w, h) && w > 0 && h > 0) {
         resize_normalize(rgb, w, h, out_size, img_out);
         *label_out = labels[idx];
         return;
@@ -207,8 +246,12 @@ struct Loader {
                       i * static_cast<size_t>(out_size) * out_size * 3,
                   &batch->labels[i], rng);
       }
+      batch->valid = count;
       for (size_t i = count; i < static_cast<size_t>(batch_size); ++i) {
-        // ragged tail (drop_last=false): repeat the first item
+        // ragged tail (drop_last=false): pad the buffer so it is fully
+        // defined, but report `valid` so the wrapper trims — the Python
+        // DataLoader yields a smaller final batch and the two loaders
+        // must keep the same iteration contract
         std::memcpy(batch->images.data() +
                         i * static_cast<size_t>(out_size) * out_size * 3,
                     batch->images.data(),
@@ -284,7 +327,8 @@ int fl_num_batches(void *handle) {
 }
 
 // blocking: copy the next ready batch into caller buffers.
-// returns 1 on success, 0 when the epoch is exhausted.
+// returns the number of REAL items in the batch (== batch_size except for
+// a ragged drop_last=false tail), 0 when the epoch is exhausted.
 int fl_next(void *handle, float *images_out, int32_t *labels_out) {
   auto *l = static_cast<Loader *>(handle);
   Batch *batch = nullptr;
@@ -306,8 +350,9 @@ int fl_next(void *handle, float *images_out, int32_t *labels_out) {
               batch->images.size() * sizeof(float));
   std::memcpy(labels_out, batch->labels.data(),
               batch->labels.size() * sizeof(int32_t));
+  int valid = static_cast<int>(batch->valid);
   delete batch;
-  return 1;
+  return valid;
 }
 
 void fl_reset(void *handle, uint32_t seed) {

@@ -277,14 +277,33 @@ def from_torch(layer: Layer, sd: Mapping[str, "object"], prefix: str = "",
     return rec(layer, prefix)
 
 
+def _leaf_paths(tree, base=()):
+    """Set of tuple-paths to array leaves of a nested-dict tree."""
+    if isinstance(tree, Mapping):
+        paths = set()
+        for k, v in tree.items():
+            paths |= _leaf_paths(v, base + (str(k),))
+        return paths
+    return {base} if tree is not None else set()
+
+
+# state entries stored out-of-band in reference checkpoints (ckpt['latent_avg'],
+# avg_image.jpg on disk) rather than in the module state_dict
+_OUT_OF_BAND_STATE = ("latent_avg", "avg_image")
+
+
 def to_torch(layer: Layer, params, state=None, prefix: str = "",
              flatten_info: Optional[Mapping[str, Tuple[int, int, int]]]
-             = None) -> dict:
+             = None, check: bool = True) -> dict:
     """Inverse of ``from_torch``: emit a torch-layout flat state_dict
     (numpy arrays) from our (params, state) trees — enables exporting
-    trained models back to the reference toolchain. Covers the layer
-    classes used by the backbones/generators; BN running stats come from
-    ``state``."""
+    trained models back to the reference toolchain. Every ``from_torch``
+    branch has its inverse here; BN running stats come from ``state``.
+
+    ``check=True`` (default) verifies no leaf was silently dropped by
+    round-tripping the emitted dict through ``from_torch`` and comparing
+    leaf paths — unhandled layer classes raise instead of emitting an
+    incomplete state_dict."""
     import numpy as _np
     flatten_info = flatten_info or {}
     state = state or {}
@@ -293,10 +312,12 @@ def to_torch(layer: Layer, params, state=None, prefix: str = "",
     def put(key, arr):
         out[key] = _np.asarray(arr)
 
+    def oihw(w):
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
     def rec(layer, params, state, prefix):
         if isinstance(layer, Conv2d):
-            put(_join(prefix, "weight"),
-                np.transpose(np.asarray(params["weight"]), (3, 2, 0, 1)))
+            put(_join(prefix, "weight"), oihw(params["weight"]))
             if layer.use_bias and "bias" in params:
                 put(_join(prefix, "bias"), params["bias"])
             return
@@ -331,13 +352,103 @@ def to_torch(layer: Layer, params, state=None, prefix: str = "",
             if "bias" in params:
                 put(_join(prefix, "bias"), params["bias"])
             return
+        if isinstance(layer, (ada.SynthesisLayer, ada.SynthesisLayer1)):
+            rec_children(layer, params, state, prefix,
+                         skip=("weight", "bias", "noise_strength"))
+            put(_join(prefix, "weight"), oihw(params["weight"]))
+            for name in ("bias", "noise_strength"):
+                if name in params:
+                    put(_join(prefix, name), params[name])
+            if "noise_const" in state:
+                put(_join(prefix, "noise_const"), state["noise_const"])
+            return
+        if isinstance(layer, (ada.ToRGBLayer, ada.ToRGBLayer1)):
+            rec_children(layer, params, state, prefix,
+                         skip=("weight", "bias"))
+            put(_join(prefix, "weight"), oihw(params["weight"]))
+            if "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
+        if isinstance(layer, (ada.EqualizedConv2d, sg2.EqualConv2d)):
+            put(_join(prefix, "weight"), oihw(params["weight"]))
+            if layer.bias and "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
+        if isinstance(layer, ada.SynthesisPrologue):
+            rec_children(layer, params, state, prefix, skip=("const",))
+            put(_join(prefix, "const"),
+                np.transpose(np.asarray(params["const"]), (2, 0, 1)))
+            return
+        if isinstance(layer, ada.MappingNetwork):
+            rec_children(layer, params, state, prefix)
+            if "w_avg" in state:
+                put(_join(prefix, "w_avg"), state["w_avg"])
+            return
+        if isinstance(layer, sg2.ModulatedConv2d):
+            rec_children(layer, params, state, prefix, skip=("weight",))
+            put(_join(prefix, "weight"), oihw(params["weight"])[None])
+            return
+        if isinstance(layer, sg2.NoiseInjection):
+            put(_join(prefix, "weight"), params["weight"])
+            return
+        if isinstance(layer, sg2.StyledConv):
+            rec_children(layer, params, state, prefix, skip=("activate",))
+            put(_join(prefix, "activate.bias"),
+                params["activate"]["bias"])
+            return
+        if isinstance(layer, sg2.ToRGB):
+            rec_children(layer, params, state, prefix, skip=("bias",))
+            put(_join(prefix, "bias"),
+                np.asarray(params["bias"]).reshape(1, 3, 1, 1))
+            return
+        if isinstance(layer, sg2.ConvLayer):
+            act_idx = 2 if layer.downsample else 1
+            rec_children(layer, params, state, prefix,
+                         skip=(str(act_idx),) if layer.activate else ())
+            if layer.activate and layer.bias:
+                put(_join(prefix, f"{act_idx}.bias"),
+                    params[str(act_idx)]["bias"])
+            return
+        if isinstance(layer, sg2.Generator):
+            rec_children(layer, params, state, prefix,
+                         skip=("input", "noises"))
+            put(_join(prefix, "input.input"),
+                np.transpose(np.asarray(params["input"]["input"]),
+                             (0, 3, 1, 2)))
+            for name, nz in state.get("noises", {}).items():
+                put(_join(prefix, f"noises.{name}"),
+                    np.transpose(np.asarray(nz), (0, 3, 1, 2)))
+            return
+        from ..models import efficientnet as effnet
+        if isinstance(layer, effnet.SamePadConv):
+            put(_join(prefix, "weight"), oihw(params["weight"]))
+            if layer.bias and "bias" in params:
+                put(_join(prefix, "bias"), params["bias"])
+            return
         # generic container
-        ch = iter_children(layer)
-        for name, child in ch.items():
+        rec_children(layer, params, state, prefix)
+
+    def rec_children(layer, params, state, prefix, skip=()):
+        for name, child in iter_children(layer).items():
+            if name in skip:
+                continue
             rec(child, params.get(name, {}), state.get(name, {}),
                 _join(prefix, name))
 
     rec(layer, params, state, prefix)
+
+    if check:
+        p2, s2 = from_torch(layer, out, prefix=prefix,
+                            flatten_info=flatten_info, strict=False)
+        missing = sorted(
+            [".".join(p) for p in _leaf_paths(params) - _leaf_paths(p2)] +
+            [".".join(p) for p in (_leaf_paths(state) - _leaf_paths(s2))
+             if p[-1] not in _OUT_OF_BAND_STATE])
+        if missing:
+            raise ValueError(
+                "to_torch would silently drop "
+                f"{len(missing)} leaves (unhandled layer class?): "
+                f"{missing[:20]}")
     return out
 
 

@@ -104,3 +104,35 @@ def test_build_head_registry():
         h = heads.build_head(name, 512, 1000)
         p, s = h.init(jax.random.key(0))
         assert p
+
+
+def test_curricularface_parity_and_grads(ref_heads, rng):
+    """Forward, t-EMA, AND input-gradient parity vs head/metrics.py:475-510.
+    The gradient check catches the ADVICE r1 bug: the reference updates t
+    under torch.no_grad(), so no gradient may flow through the EMA."""
+    feats, labels = _data(rng)
+    th = ref_heads.CurricularFace(32, 20, m=0.5, s=64.0)
+    jh = heads.CurricularFace(32, 20, s=64.0, m=0.5)
+    params = {"weight": jnp.asarray(th.kernel.detach().numpy().T)}
+    state = {"t": jnp.zeros(())}
+
+    tf = torch.tensor(feats, requires_grad=True)
+    out_t = th(tf, torch.tensor(labels))
+    out_j, new_state = jh.apply(
+        params, state, (jnp.asarray(feats), jnp.asarray(labels)),
+        nn.Ctx(train=True))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(new_state["t"]), float(th.t),
+                               rtol=1e-5, atol=1e-7)
+
+    out_t.sum().backward()
+
+    def total(f):
+        o, _ = jh.apply(params, state, (f, jnp.asarray(labels)),
+                        nn.Ctx(train=True))
+        return jnp.sum(o)
+
+    g_j = jax.grad(total)(jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g_j), tf.grad.numpy(),
+                               rtol=1e-3, atol=1e-4)

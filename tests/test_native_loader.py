@@ -70,6 +70,69 @@ def test_make_loader_fallback(faces_root, monkeypatch):
     assert isinstance(dl, DataLoader)
 
 
+def test_native_decodes_png(lib_available, tmp_path, rng):
+    """PNG files must decode natively (ADVICE r1: they used to be treated
+    as corrupt and silently resampled)."""
+    from PIL import Image
+    root = tmp_path / "pngfaces"
+    want = {}
+    for ident in ("a", "b"):
+        d = root / ident
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")   # lossless
+            want[f"{ident}/{i}"] = arr
+    ds = FacesDataset(str(root))
+    dl = native_loader.make_loader(ds, batch_size=3, shuffle=False,
+                                   num_workers=2)
+    assert isinstance(dl, native_loader.NativeDataLoader)
+    seen = 0
+    for imgs, labels in dl:
+        for j in range(imgs.shape[0]):
+            ref = ds.load(seen + j)
+            assert np.abs(imgs[j] - ref[0]).max() <= 1.1 / 255 * 2
+        seen += imgs.shape[0]
+    assert seen == len(ds)
+
+
+def test_native_ragged_tail_matches_python(lib_available, faces_root):
+    """drop_last=False: the native loader must yield a SMALLER final batch
+    (real count via fl_next), not a padded one (ADVICE r1)."""
+    from stylegan_for_facerec_tpu.data.dataset import DataLoader
+    ds = FacesDataset(faces_root)
+    n = len(ds)
+    bs = 8
+    assert n % bs != 0, "fixture should produce a ragged tail"
+    ndl = native_loader.NativeDataLoader(ds, batch_size=bs, shuffle=False,
+                                         num_workers=2, drop_last=False)
+    pdl = DataLoader(ds, batch_size=bs, shuffle=False, drop_last=False)
+    nb = [(i.shape[0], l.copy()) for i, l in ndl]
+    pb = [(i.shape[0], np.asarray(l)) for i, l in pdl]
+    assert [c for c, _ in nb] == [c for c, _ in pb]
+    assert nb[-1][0] == n % bs
+    for (_, ln), (_, lp) in zip(nb, pb):
+        np.testing.assert_array_equal(ln, lp)
+
+
+def test_make_loader_rejects_unsupported_format(faces_root, tmp_path, rng):
+    """Non-JPEG/PNG files route to the Python loader instead of being
+    mis-decoded as corrupt."""
+    from PIL import Image
+    from stylegan_for_facerec_tpu.data.dataset import DataLoader
+    root = tmp_path / "bmpfaces"
+    d = root / "a"
+    d.mkdir(parents=True)
+    for i in range(4):
+        arr = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.bmp")
+    ds = FacesDataset(str(root))
+    if len(ds) == 0:
+        pytest.skip("FacesDataset does not glob .bmp")
+    dl = native_loader.make_loader(ds, batch_size=2)
+    assert isinstance(dl, DataLoader)
+
+
 def test_native_loader_many_epochs_stress(lib_available, faces_root):
     """Repeated epoch resets with multiple workers: no deadlock, stable
     batch counts, all finite."""

@@ -138,7 +138,11 @@ def main():
     step = start_epoch * steps_per_epoch
     key = jax.random.key(1)
     for epoch in range(start_epoch, opts.num_epochs):
-        frozen = epoch < opts.freeze_backbone_epochs
+        # reference freezes while epoch <= FREEZE_BACKBONE_EPOCHS
+        # (train.py:263-274) with 1-based epochs; our epochs are 0-based so
+        # "< N" trains the body one epoch early — match the recipe exactly
+        frozen = (opts.freeze_backbone_epochs > 0
+                  and epoch <= opts.freeze_backbone_epochs)
         mask = trainer.freeze_mask(params, frozen=frozen)
         t0 = time.time()
         for images, labels in loader:
