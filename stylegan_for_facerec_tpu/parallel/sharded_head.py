@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.heads import arcface_margin, cosface_margin
 
@@ -98,7 +98,7 @@ def make_sharded_margin_ce(mesh: Mesh, num_classes: int, kind: str =
         kernel, mesh=mesh,
         in_specs=(P(data_axis, None), P(model_axis, None), P(data_axis)),
         out_specs=(P(data_axis), P(data_axis)),
-        check_rep=False)
+        check_vma=False)
 
     def fn(features, weight, labels):
         ce, correct = smapped(features, weight, labels)

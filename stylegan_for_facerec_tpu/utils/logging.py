@@ -90,19 +90,69 @@ class MetricLogger:
         print(f"[step {step}] {line}")
 
     def log_benchmark(self, step: int, db_name: str, acc: float,
-                      best_threshold: float, epoch: Optional[int] = None):
-        """``buffer_val`` parity (``util/utils.py:310-322``)."""
+                      best_threshold: float, epoch: Optional[int] = None,
+                      roc=None):
+        """``buffer_val`` parity (``util/utils.py:310-322``). ``roc`` is an
+        optional (tpr, fpr) pair; when given, the ROC curve is rendered and
+        logged as an image artifact — the reference's ``gen_plot`` +
+        roc_curve_tensor path (``util/utils.py:239-251,303-305``)."""
         payload = {f"{db_name}_Accuracy": acc,
                    f"{db_name}_Best_Threshold": best_threshold}
         if epoch is not None:
             payload["epoch"] = epoch
         self.log(step, payload)
+        if roc is not None:
+            tpr, fpr = roc
+            self.log_image(f"{db_name}_ROC_Curve",
+                           render_roc_curve(fpr, tpr), step)
+
+    def log_image(self, name: str, image, step: int,
+                  subscript: Optional[str] = None) -> Optional[str]:
+        """Save an image artifact under ``log_dir/<name>/`` (the stage-2
+        coaches' ``log_images`` layout, ``coach_restyle_psp.py:366-378``)
+        and forward to wandb when enabled. ``image``: uint8 HWC array or
+        PIL image. Returns the written path (None without a log_dir)."""
+        import numpy as np
+        from PIL import Image
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        path = None
+        if self.log_dir:
+            fname = (f"{subscript}_{step:04d}.jpg" if subscript
+                     else f"{step:04d}.jpg")
+            path = os.path.join(self.log_dir, name, fname)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            image.save(path)
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Image(image)},
+                            step=int(step))
+        return path
 
     def close(self):
         if self._file:
             self._file.close()
         if self._wandb:
             self._wandb.finish()
+
+
+def render_roc_curve(fpr, tpr):
+    """ROC plot -> uint8 HWC image (``util/utils.py:239-251`` ``gen_plot``
+    without the PIL/tensor round-trip)."""
+    import numpy as np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure()
+    try:
+        plt.xlabel("FPR", fontsize=14)
+        plt.ylabel("TPR", fontsize=14)
+        plt.title("ROC Curve", fontsize=14)
+        plt.plot(np.asarray(fpr), np.asarray(tpr), linewidth=2)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        return buf.copy()
+    finally:
+        plt.close(fig)
 
 
 @contextlib.contextmanager

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stylegan_for_facerec_tpu import nn
 from stylegan_for_facerec_tpu.losses import cross_entropy_per_sample
@@ -101,7 +101,7 @@ def test_sync_batchnorm_under_shard_map(rng, devices):
             local_apply, mesh=mesh,
             in_specs=(P("data", None, None, None),),
             out_specs=(P("data", None, None, None), P(), P()),
-            check_rep=False)(jnp.asarray(x))
+            check_vma=False)(jnp.asarray(x))
 
     y_ref, ns_ref = bn_plain.apply(params, state, jnp.asarray(x),
                                    nn.Ctx(train=True))

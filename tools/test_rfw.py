@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--emb_size", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--no_tta", action="store_true")
+    ap.add_argument("--roc_dir", default=None,
+                    help="write per-benchmark ROC curve images here "
+                    "(util/utils.py:239-251 gen_plot parity)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.eval import load_val_pair, perform_val
@@ -41,13 +44,19 @@ def main():
     params = ckpt["params"].get("backbone", ckpt["params"])
     state = ckpt["state"].get("backbone", ckpt["state"])
 
+    logger = None
+    if args.roc_dir:
+        from stylegan_for_facerec_tpu.utils.logging import MetricLogger
+        logger = MetricLogger(log_dir=args.roc_dir)
     for bench in args.benchmarks:
         carray, issame = load_val_pair(os.path.join(args.data_root, bench))
-        acc, thr, _ = perform_val(backbone, params, state, carray, issame,
-                                  batch_size=args.batch_size,
-                                  emb_size=args.emb_size,
-                                  tta=not args.no_tta)
+        acc, thr, roc = perform_val(backbone, params, state, carray,
+                                    issame, batch_size=args.batch_size,
+                                    emb_size=args.emb_size,
+                                    tta=not args.no_tta)
         print(f"{bench}: accuracy {acc:.4f} best_threshold {thr:.3f}")
+        if logger is not None:
+            logger.log_benchmark(0, bench, acc, thr, roc=roc)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--lpips_weights", default=None,
                     help="npz with converted LPIPS params")
     ap.add_argument("--save_interval", type=int, default=1000)
+    ap.add_argument("--image_interval", type=int, default=100,
+                    help="dump input/target/output face grids every N "
+                    "steps (coach_restyle_psp.py:343-378)")
+    ap.add_argument("--image_display_count", type=int, default=2)
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu import nn
@@ -84,6 +88,9 @@ def main():
                        args.target_root or args.source_root)
     print(f"[data] {len(ds)} pairs")
     mgr = CheckpointManager(args.exp_dir)
+    from stylegan_for_facerec_tpu.eval.inference import face_grid
+    from stylegan_for_facerec_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(log_dir=os.path.join(args.exp_dir, "logs"))
 
     step = 0
     key = jax.random.key(3)
@@ -95,11 +102,17 @@ def main():
             x = jnp.asarray(np.stack([b[0] for b in batch]))
             y = jnp.asarray(np.stack([b[1] for b in batch]))
             key, k = jax.random.split(key)
-            params, opt_state, loss, logs, _ = coach.train_step(
+            params, opt_state, loss, logs, y_hat = coach.train_step(
                 params, state, opt_state, x, y, avg_image, k)
             if step % 50 == 0:
-                print(f"step {step} " + " ".join(
-                    f"{k2} {float(v):.4f}" for k2, v in logs.items()))
+                logger.log(step, {k2: float(v) for k2, v in logs.items()},
+                           prefix="train/")
+            if args.image_interval and step % args.image_interval == 0:
+                n = min(args.image_display_count, x.shape[0])
+                grid = face_grid([{"input_face": x[i], "target_face": y[i],
+                                   "output_face": y_hat[i]}
+                                  for i in range(n)])
+                logger.log_image("images/train/faces", grid, step)
             if step % args.save_interval == 0 and step > 0:
                 mgr.save(step, {"params": params, "state": state},
                          metric=float(loss))

@@ -117,6 +117,9 @@ def main():
         print("[init] loaded avg image")
 
     mgr = CheckpointManager(os.path.join(opts.model_root, opts.name))
+    from stylegan_for_facerec_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(
+        log_dir=os.path.join(opts.model_root, opts.name, "logs"))
     start_epoch = opts.start_epoch
     if args.resume:
         from stylegan_for_facerec_tpu.utils.checkpoint import (
@@ -164,10 +167,11 @@ def main():
 
         if val_data:
             for name, (carray, issame) in val_data.items():
-                acc, thr, _ = perform_val(
+                acc, thr, roc = perform_val(
                     backbone, params["backbone"], state["backbone"],
                     carray, issame)
-                print(f"[eval] {name}: acc {acc:.4f} thr {thr:.3f}")
+                logger.log_benchmark(step, name, acc, thr, epoch=epoch,
+                                     roc=roc)
         mgr.save(step, {"params": params, "state": state,
                         "opt_state": opt_state},
                  metadata={"epoch": epoch})
