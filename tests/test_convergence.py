@@ -36,7 +36,8 @@ def test_stage3_learns_synthetic_identities(rng):
                      drop_ratio=0.0)
     cfg = Stage3Config(emb_size=32, num_classes=n_ids, lr=0.1,
                        arcface_s=16.0, margin=0.2,
-                       freeze_backbone_epochs=0, stages=())
+                       freeze_backbone_epochs=0, stages=(),
+                       compute_dtype="float32")
     tr = Stage3Trainer(backbone, cfg, steps_per_epoch=1000)
     params, state, opt = tr.init(jax.random.key(0))
     mask = tr.freeze_mask(params, frozen=False)

@@ -142,3 +142,48 @@ def test_e4e_coach_step(rng):
     l0 = jax.tree_util.tree_leaves(d_params)[0]
     l1 = jax.tree_util.tree_leaves(d_params2)[0]
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_e4e_coach_sharded_matches_single(rng):
+    """E4eCoach(mesh=): encoder+adversarial step and the discriminator step
+    must match single-device numerics (reference trains stage-2 e4e with
+    multi-GPU DataParallel, coach_restyle_e4e.py:115-117)."""
+    from stylegan_for_facerec_tpu.parallel import make_mesh
+    from stylegan_for_facerec_tpu.train.stage2_e4e import E4eCoach, E4eConfig
+
+    cfg = E4eConfig(output_size=32, n_iters_per_batch=1, lpips_lambda=0.0,
+                    target_size=32, w_discriminator_lambda=0.1,
+                    progressive_steps=(0, 100), delta_norm_lambda=2e-4)
+    coach = E4eCoach(cfg)
+    params, state, opt_state, d_params, d_opt = coach.init(
+        jax.random.key(0))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=32)
+    avg = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+
+    p1, o1, loss1, logs1, yh1, lat1 = coach.train_step(
+        params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
+    d1, do1, dl1 = coach.train_discriminator(
+        params, state, d_params, d_opt, lat1, jax.random.key(4), step=0)
+
+    mesh = make_mesh(data=4, model=2)
+    mcoach = E4eCoach(cfg, mesh=mesh)
+    mcoach.pool = type(mcoach.pool)(mcoach.cfg.w_pool_size)  # fresh pool
+    with mesh:
+        mp, ms, mo = (jax.device_put(t) for t in (params, state, opt_state))
+        md, mdo = jax.device_put(d_params), jax.device_put(d_opt)
+        p2, o2, loss2, logs2, yh2, lat2 = mcoach.train_step(
+            mp, ms, mo, x, x, avg, jax.random.key(3), md)
+        d2, do2, dl2 = mcoach.train_discriminator(
+            mp, ms, md, mdo, lat2, jax.random.key(4), step=0)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(dl2), float(dl1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lat2), np.asarray(lat1),
+                               rtol=1e-4, atol=1e-4)
+    l1 = jax.tree_util.tree_leaves(d1)[0]
+    l2 = jax.tree_util.tree_leaves(d2)[0]
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4,
+                               atol=1e-6)

@@ -53,7 +53,8 @@ def test_stage3_remat_matches(rng):
     for remat in (False, True):
         bb = Tiny(input_size=32, num_layers=50, emb_size=64)
         cfg = Stage3Config(emb_size=64, num_classes=32, remat=remat,
-                           freeze_backbone_epochs=0)
+                           freeze_backbone_epochs=0,
+                           compute_dtype="float32")
         tr = Stage3Trainer(bb, cfg, steps_per_epoch=10)
         params, state, opt = tr.init(jax.random.key(0))
         mask = tr.freeze_mask(params, frozen=False)
