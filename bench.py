@@ -1,8 +1,19 @@
-"""Benchmark entry point — prints ONE JSON line.
+"""Benchmark entry point — prints ONE JSON line, always.
 
 Primary metric: StyleGAN2-ADA 256x256 batch synthesis throughput on one
 chip (BASELINE.md headline: >= 5,000 imgs/sec on a v5p-8, i.e. 625
-imgs/sec/chip). Secondary metrics ride along in "extras".
+imgs/sec/chip). Extras ride along: IR-SE-50 embedding throughput, ReStyle
+iterative inversion (1-iter README config and 5-iter default,
+``restyle-encoder/options/train_options.py`` n_iters_per_batch), and the
+stage-3 ArcFace train step (imgs/sec + MFU vs the 40% BASELINE bar).
+
+Resilience contract (VERDICT round 1, weak #2: round 1 recorded NO number
+because one transient ``UNAVAILABLE`` from the axon tunnel killed the
+process): the parent process is jax-free; it re-execs the measurement
+child up to BENCH_ATTEMPTS times with exponential backoff (a fresh process
+is the only reliable way to retry backend init — jax caches the failure),
+scrapes the child's last JSON line, and if everything fails still prints a
+parseable degraded line with an "error" field and exits 0.
 
 Timing methodology: the axon TPU tunnel has ~30 ms per-call round-trip
 latency and ``block_until_ready`` does not synchronize through it, so each
@@ -13,22 +24,116 @@ between a long and a short scan (dispatch/readback latency cancels).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-# first compile through the axon tunnel is minutes; cache it across runs
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+_CHILD_ENV = "_BENCH_CHILD"
+PRIMARY_METRIC = "stylegan2_ada_256_synthesis"
+PER_CHIP_TARGET = 5000.0 / 8.0   # BASELINE.md: 5k imgs/s on a v5p-8
 
 
-def scan_time_per_iter(make_step, carry_init, short=2, long=12):
+# --------------------------------------------------------------------------
+# parent side (no jax): retry loop that cannot lose the JSON line
+# --------------------------------------------------------------------------
+
+def extract_json_line(text: str):
+    """Last stdout line that parses as a dict with a 'metric' key."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def degraded_result(error: str, partial=None):
+    """A still-parseable JSON line for total-failure rounds."""
+    out = {
+        "metric": PRIMARY_METRIC,
+        "value": 0.0,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": 0.0,
+        "extras": dict(partial or {}),
+    }
+    out["extras"]["error"] = error[-800:]
+    return out
+
+
+def run_with_retries(argv, attempts=3, backoff_s=15.0, timeout_s=3000.0,
+                     runner=None):
+    """Run the measurement child until one attempt yields a JSON line.
+    ``runner(argv, env, timeout)`` -> (rc, stdout_text, stderr_tail) is
+    injectable for fault-injection tests."""
+    if runner is None:
+        def runner(argv, env, timeout):
+            # capture stdout (for the JSON line) but let stderr stream
+            # through live: a stuck phase is then visible in the driver's
+            # recorded tail instead of vanishing into a silent timeout
+            proc = subprocess.run(argv, env=env, stdout=subprocess.PIPE,
+                                  text=True, timeout=timeout)
+            return proc.returncode, proc.stdout, ""
+
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    probe_env = dict(env)
+    probe_env[_CHILD_ENV] = "probe"
+    last_err = "no attempts ran"
+    delay = backoff_s
+    for attempt in range(attempts):
+        # cheap device probe first: when the tunnel is wedged the first
+        # device op HANGS (it does not error), so never spend the full
+        # child timeout discovering that
+        try:
+            prc, pout, perr = runner(argv, probe_env,
+                                     float(os.environ.get(
+                                         "BENCH_PROBE_TIMEOUT_S", "300")))
+        except subprocess.TimeoutExpired:
+            prc, pout, perr = -1, "", "probe timed out"
+        if prc != 0 or "PROBE_OK" not in pout:
+            last_err = (f"attempt {attempt + 1}/{attempts}: device probe "
+                        f"failed rc={prc} {perr.strip()[-200:]}")
+            sys.stderr.write(f"[bench] {last_err}\n")
+            if attempt + 1 < attempts:
+                time.sleep(delay)
+                delay = min(delay * 2, 300.0)
+            continue
+        try:
+            rc, out, err = runner(argv, env, timeout_s)
+        except subprocess.TimeoutExpired:
+            rc, out, err = -1, "", f"child timed out after {timeout_s}s"
+        parsed = extract_json_line(out)
+        if parsed is not None:
+            return parsed
+        last_err = (f"attempt {attempt + 1}/{attempts} rc={rc}: "
+                    f"{err.strip().splitlines()[-1] if err.strip() else ''}")
+        sys.stderr.write(f"[bench] {last_err}\n")
+        if attempt + 1 < attempts:
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+    return degraded_result(last_err)
+
+
+# --------------------------------------------------------------------------
+# child side: the actual measurements
+# --------------------------------------------------------------------------
+
+def _log(msg):
+    sys.stderr.write(f"[bench {time.strftime('%H:%M:%S')}] {msg}\n")
+    sys.stderr.flush()
+
+
+def _scan_time_per_iter(make_step, carry_init, short=2, long=12):
     """Device seconds per iteration of make_step, measured as
     (T(long) - T(short)) / (long - short) with one scalar sync each."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     def runner(n):
         @jax.jit
@@ -38,8 +143,10 @@ def scan_time_per_iter(make_step, carry_init, short=2, long=12):
             c, _ = jax.lax.scan(body, carry, None, length=n)
             leaf = jax.tree_util.tree_leaves(c)[0]
             return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
+        _log(f"  scan(n={n}): compiling...")
         r = run(carry_init)
         _ = np.asarray(r)        # compile + sync
+        _log(f"  scan(n={n}): compiled; timing")
         t0 = time.perf_counter()
         r = run(carry_init)
         _ = np.asarray(r)
@@ -50,19 +157,35 @@ def scan_time_per_iter(make_step, carry_init, short=2, long=12):
     return max((t_long - t_short) / (long - short), 1e-9)
 
 
-def main():
+def _warm_up_device(max_attempts=4, delay_s=10.0):
+    """First device op with in-process retries (transient tunnel flake)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    last = None
+    for _ in range(max_attempts):
+        try:
+            x = np.asarray(jnp.asarray(1.0) + 1.0)
+            assert x == 2.0
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — retry any backend error
+            last = e
+            time.sleep(delay_s)
+    raise RuntimeError(f"device warm-up failed: {last}")
+
+
+def _bench_synthesis(extras):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from stylegan_for_facerec_tpu import nn
-    from stylegan_for_facerec_tpu.models import irse, stylegan2_ada
+    from stylegan_for_facerec_tpu.models import stylegan2_ada
 
-    rng = np.random.RandomState(0)
-    dtype = jnp.bfloat16
-
-    # ---- StyleGAN2-ADA 256 synthesis ------------------------------------
     g = stylegan2_ada.Generator(img_resolution=256)
     gp, gs = g.init(jax.random.key(0))
-    gp = nn.cast_floats(gp, dtype)
-    gs = nn.cast_floats(gs, dtype)
-    bs_g = 128
+    gp = nn.cast_floats(gp, jnp.bfloat16)
+    gs = nn.cast_floats(gs, jnp.bfloat16)
+    bs = 128
     key = jax.random.key(1)
 
     def synth_step(z):
@@ -72,48 +195,200 @@ def main():
         return z + 1e-6 * jnp.mean(img, axis=(1, 2))[:, :3].sum() \
             * jnp.ones_like(z)
 
-    z0 = jnp.asarray(rng.randn(bs_g, 512), dtype)
-    dt = scan_time_per_iter(synth_step, z0)
-    synth_ips = bs_g / dt
+    z0 = jnp.asarray(np.random.RandomState(0).randn(bs, 512), jnp.bfloat16)
+    dt = _scan_time_per_iter(synth_step, z0)
+    extras["synthesis_batch"] = bs
+    return bs / dt
 
-    # ---- IR-SE-50 embeddings --------------------------------------------
+
+def _bench_embed(extras):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.models import irse
+
     m = irse.IR_SE_50(112)
     mp, ms = m.init(jax.random.key(2))
-    mp = nn.cast_floats(mp, dtype)
-    ms = nn.cast_floats(ms, dtype)
-    bs_e = 128
+    mp = nn.cast_floats(mp, jnp.bfloat16)
+    ms = nn.cast_floats(ms, jnp.bfloat16)
+    bs = 128
 
     def embed_step(x):
         e, _ = m.apply(mp, ms, x, nn.Ctx(train=False))
         return x + 1e-6 * jnp.mean(e) * jnp.ones_like(x)
 
-    # secondary metric is best-effort: never lose the primary result to a
-    # failure/timeout here (cold remote compiles can take minutes)
-    embed_ips = None
-    try:
-        x0 = jnp.asarray(rng.randn(bs_e, 112, 112, 3), dtype)
-        dt_e = scan_time_per_iter(embed_step, x0)
-        embed_ips = round(bs_e / dt_e, 1)
-    except Exception as e:  # pragma: no cover
-        import sys
-        print(f"[bench] embed extra failed: {e}", file=sys.stderr)
+    x0 = jnp.asarray(np.random.RandomState(1).randn(bs, 112, 112, 3),
+                     jnp.bfloat16)
+    dt = _scan_time_per_iter(embed_step, x0)
+    extras["ir_se_50_embed_imgs_per_sec"] = round(bs / dt, 1)
 
-    per_chip_target = 5000.0 / 8.0  # BASELINE.md: 5k imgs/s on v5p-8
+
+def _bench_inversion(extras, n_iters, bs=32):
+    """ReStyle iterative inversion: encoder + 256-generator per iteration
+    (``utils/inference_utils.py:4-38``), whole loop in one jit."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.eval.inference import run_on_batch
+    from stylegan_for_facerec_tpu.models.psp import PSp
+
+    model = PSp(output_size=256)
+    pp, ps = model.init(jax.random.key(3))
+    pp = nn.cast_floats(pp, jnp.bfloat16)
+    ps = nn.cast_floats(ps, jnp.bfloat16)
+    avg_image = jnp.zeros((256, 256, 3), jnp.bfloat16)
+
+    def inv_step(x):
+        outs, _ = run_on_batch(model, pp, ps, x, avg_image, n_iters)
+        return x + 1e-6 * jnp.mean(outs).astype(x.dtype) * jnp.ones_like(x)
+
+    x0 = jnp.asarray(np.random.RandomState(2).randn(bs, 256, 256, 3),
+                     jnp.bfloat16)
+    dt = _scan_time_per_iter(inv_step, x0, short=1, long=5)
+    key = f"inversion_{n_iters}iter_imgs_per_sec"
+    extras[key] = round(bs / dt, 1)
+    extras[key + "_vs_baseline"] = round((bs / dt) / PER_CHIP_TARGET, 3)
+
+
+def _bench_arcface_train(extras):
+    """Stage-3 ArcFace training step throughput + MFU (BASELINE: >=40%)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu.models import irse
+    from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
+
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "256"))
+    num_classes = 28000
+    backbone = irse.IR_SE_50(112)
+    cfg = Stage3Config(num_classes=num_classes, batch_size=bs,
+                       freeze_backbone_epochs=0)
+    trainer = Stage3Trainer(backbone, cfg, steps_per_epoch=1000)
+    params, state, opt_state = trainer.init(jax.random.key(4))
+    images = jnp.asarray(
+        np.random.RandomState(3).randn(bs, 112, 112, 3), jnp.float32)
+    labels = jnp.asarray(
+        np.random.RandomState(4).randint(0, num_classes, size=bs),
+        jnp.int32)
+    rng = jax.random.key(5)
+    step0 = jnp.zeros((), jnp.int32)
+
+    def train_iter(carry):
+        p, s, o = carry
+        p, s, o, _ = trainer._train_step(p, s, o, images, labels, rng,
+                                         step0, None)
+        return (p, s, o)
+
+    dt = _scan_time_per_iter(train_iter, (params, state, opt_state),
+                             short=1, long=4)
+    ips = bs / dt
+    extras["arcface_train_imgs_per_sec"] = round(ips, 1)
+    extras["arcface_train_batch"] = bs
+    # MFU from XLA's own cost model when available, else analytic estimate
+    flops = _train_step_flops(trainer, params, state, opt_state, images,
+                              labels, rng, step0)
+    if flops:
+        peak = float(os.environ.get("BENCH_PEAK_FLOPS", "197e12"))
+        extras["arcface_train_mfu"] = round(flops / dt / peak, 4)
+
+
+def _train_step_flops(trainer, params, state, opt_state, images, labels,
+                      rng, step0):
+    import jax
+    try:
+        lowered = jax.jit(trainer._train_step).lower(
+            params, state, opt_state, images, labels, rng, step0, None)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 — cost model is best-effort
+        return None
+
+
+def main():
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    extras = {"dtype": "bfloat16"}
+    errors = {}
+
+    _log("warming up device...")
+    device = _warm_up_device()
+    extras["device"] = str(device)
+    _log(f"device ready: {device}")
+
+    # primary metric (retried once in-process; parent retries whole child)
+    synth_ips = None
+    for _ in range(2):
+        try:
+            _log("phase: synthesis 256")
+            synth_ips = _bench_synthesis(extras)
+            break
+        except Exception as e:  # noqa: BLE001
+            errors["synthesis"] = repr(e)[-300:]
+            time.sleep(5)
+
+    # extras are best-effort and budget-bounded: never lose the primary
+    # JSON line to a failure or cold compile here
+    def budget_left():
+        return budget - (time.monotonic() - t_start)
+
+    for name, fn in (
+            ("embed", _bench_embed),
+            ("inversion5", lambda ex: _bench_inversion(ex, 5)),
+            ("inversion1", lambda ex: _bench_inversion(ex, 1)),
+            ("train", _bench_arcface_train)):
+        if budget_left() < 240:
+            errors[name] = "skipped: bench budget exhausted"
+            continue
+        try:
+            _log(f"phase: {name} (budget left {budget_left():.0f}s)")
+            fn(extras)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = repr(e)[-300:]
+    _log("phases done; emitting JSON")
+
+    if errors:
+        extras["errors"] = errors
+    if synth_ips is None:
+        print(json.dumps(degraded_result(
+            f"primary synthesis failed: {errors.get('synthesis')}",
+            partial=extras)))
+        return
     result = {
-        "metric": "stylegan2_ada_256_synthesis",
+        "metric": PRIMARY_METRIC,
         "value": round(synth_ips, 1),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(synth_ips / per_chip_target, 3),
-        "extras": {
-            "ir_se_50_embed_imgs_per_sec": embed_ips,
-            "synthesis_batch": bs_g,
-            "embed_batch": bs_e,
-            "dtype": "bfloat16",
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(synth_ips / PER_CHIP_TARGET, 3),
+        "extras": extras,
     }
     print(json.dumps(result))
 
 
+def probe():
+    """Tiny device op; prints PROBE_OK if the backend is usable."""
+    import numpy as np
+    import jax.numpy as jnp
+    x = float(np.asarray(jnp.asarray(2.0) * 3.0))
+    assert x == 6.0
+    print("PROBE_OK")
+
+
 if __name__ == "__main__":
-    main()
+    mode = os.environ.get(_CHILD_ENV)
+    if mode == "1":
+        main()
+    elif mode == "probe":
+        probe()
+    else:
+        print(json.dumps(run_with_retries([sys.executable,
+                                           os.path.abspath(__file__)])))

@@ -1,0 +1,107 @@
+"""bench.py resilience contract (VERDICT r1 weak #2): the parent retry
+loop must always yield one parseable JSON line, even when the measurement
+child dies on transient backend-init failures."""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+def test_extract_json_line_picks_last_metric_dict():
+    text = "\n".join([
+        "random log line",
+        json.dumps({"not_metric": 1}),
+        json.dumps({"metric": "old", "value": 1}),
+        "E0816 some XLA warning {not json",
+        json.dumps({"metric": "new", "value": 2}),
+        "trailing noise",
+    ])
+    assert bench.extract_json_line(text)["metric"] == "new"
+    assert bench.extract_json_line("no json here") is None
+
+
+def _with_probe(main_runner):
+    """Wrap an injected runner so bench's device-probe pre-step passes."""
+    def runner(argv, env, timeout):
+        if env.get(bench._CHILD_ENV) == "probe":
+            return 0, "PROBE_OK\n", ""
+        return main_runner(argv, env, timeout)
+    return runner
+
+
+def test_run_with_retries_survives_transient_failures():
+    calls = {"n": 0}
+    good = json.dumps({"metric": "m", "value": 3.0, "unit": "x",
+                       "vs_baseline": 1.0})
+
+    def flaky_runner(argv, env, timeout):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return 1, "", ("RuntimeError: Unable to initialize backend "
+                           "'axon': UNAVAILABLE")
+        return 0, "warmup noise\n" + good + "\n", ""
+
+    res = bench.run_with_retries(["python", "bench.py"], attempts=3,
+                                 backoff_s=0.01,
+                                 runner=_with_probe(flaky_runner))
+    assert calls["n"] == 3
+    assert res["metric"] == "m" and res["value"] == 3.0
+
+
+def test_run_with_retries_total_failure_emits_degraded_line():
+    def dead_runner(argv, env, timeout):
+        return 1, "", "RuntimeError: tunnel down"
+
+    res = bench.run_with_retries(["python", "bench.py"], attempts=2,
+                                 backoff_s=0.01,
+                                 runner=_with_probe(dead_runner))
+    # must still be a driver-parseable result line
+    line = json.dumps(res)
+    parsed = json.loads(line)
+    assert parsed["metric"] == bench.PRIMARY_METRIC
+    assert isinstance(parsed["value"], float)
+    assert "error" in parsed["extras"]
+
+
+def test_run_with_retries_wedged_tunnel_probe_short_circuits():
+    """A hanging backend must burn only probe timeouts, never the full
+    child timeout, and still end in a degraded JSON line."""
+    calls = {"probe": 0, "main": 0}
+
+    def wedged_runner(argv, env, timeout):
+        if env.get(bench._CHILD_ENV) == "probe":
+            calls["probe"] += 1
+            raise bench.subprocess.TimeoutExpired(argv, timeout)
+        calls["main"] += 1
+        return 0, "", ""
+
+    res = bench.run_with_retries(["x"], attempts=3, backoff_s=0.01,
+                                 runner=wedged_runner)
+    assert calls["probe"] == 3 and calls["main"] == 0
+    assert res["metric"] == bench.PRIMARY_METRIC
+    assert "probe" in res["extras"]["error"]
+
+
+def test_child_env_flag_set_for_children():
+    seen = {}
+
+    def runner(argv, env, timeout):
+        if env.get(bench._CHILD_ENV) == "probe":
+            return 0, "PROBE_OK\n", ""
+        seen.update(env)
+        return 0, json.dumps({"metric": "m", "value": 1.0}), ""
+
+    bench.run_with_retries(["x"], attempts=1, runner=runner)
+    assert seen.get(bench._CHILD_ENV) == "1"
+
+
+def test_bench_parent_side_is_jax_free():
+    """Importing bench (the parent) must not import jax — a poisoned
+    backend in the parent would defeat the whole retry design."""
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
+    head = src.split("def _scan_time_per_iter", 1)[0]
+    assert "import jax" not in head
