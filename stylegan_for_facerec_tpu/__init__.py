@@ -13,3 +13,14 @@ Subpackages: ``nn`` (functional layer core), ``ops`` (Pallas/XLA kernels),
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SGFR_PLATFORM"):
+    # Deterministic backend selection for CLIs/tests: some containers
+    # force-register a TPU PJRT plugin and override JAX_PLATFORMS from
+    # sitecustomize, so plain env vars cannot pin the backend. Setting
+    # SGFR_PLATFORM=cpu (or tpu) wins as long as this package is imported
+    # before the first jax backend touch — true for every tools/ CLI.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["SGFR_PLATFORM"])

@@ -60,10 +60,27 @@ def save_checkpoint(path: str, tree: Any,
         pass
 
 
+def resolve_checkpoint_dir(path: str) -> str:
+    """Accept either a concrete checkpoint dir or a CheckpointManager root
+    (resolves to its latest ``step_*``/``best``) — so a user can point the
+    eval CLIs straight at a training run's output directory."""
+    if os.path.exists(os.path.join(path, "leaves.npz")):
+        return path
+    if os.path.isdir(path):
+        steps = sorted(d for d in os.listdir(path)
+                       if d.startswith("step_"))
+        if steps:
+            return os.path.join(path, steps[-1])
+        if os.path.exists(os.path.join(path, "best", "leaves.npz")):
+            return os.path.join(path, "best")
+    return path
+
+
 def load_checkpoint(path: str, like: Any = None) -> Any:
     """Restore a pytree. If ``like`` (a template pytree with the same
     structure) is given, restore into its structure; otherwise use the
-    pickled treedef."""
+    pickled treedef. ``path`` may be a manager root (latest step used)."""
+    path = resolve_checkpoint_dir(path)
     data = np.load(os.path.join(path, "leaves.npz"))
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if like is not None:
@@ -76,7 +93,8 @@ def load_checkpoint(path: str, like: Any = None) -> Any:
 
 
 def load_metadata(path: str) -> Dict:
-    with open(os.path.join(path, "manifest.json")) as f:
+    with open(os.path.join(resolve_checkpoint_dir(path),
+                           "manifest.json")) as f:
         return json.load(f).get("metadata", {})
 
 

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Real-TPU smoke of the user-facing CLIs (VERDICT r1 next-round #6).
+
+Generates a tiny synthetic dataset + packed verification pair, then runs
+the three user-facing entry points as SUBPROCESSES exactly as a user
+would, on whatever backend `python` resolves to (the axon TPU chip under
+the driver; CPU if forced):
+
+  1. tools/train_stage3.py  — tiny IR_50 config, 1 epoch, eval + ckpt
+  2. tools/test_rfw.py      — verification on the packed pair + ROC image
+  3. tools/train_stage2.py  — 3 steps of pSp refinement at 32px
+
+Writes a VERIFIED.md section with the commands and observed tails.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_data(root, n_ids=6, n_imgs=6, size=128, n_pairs=12):
+    import numpy as np
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    train = os.path.join(root, "faces")
+    protos = rng.rand(n_ids, size, size, 3)
+    for i in range(n_ids):
+        d = os.path.join(train, f"id{i}")
+        os.makedirs(d, exist_ok=True)
+        for j in range(n_imgs):
+            arr = np.clip(protos[i] + rng.randn(size, size, 3) * 0.08,
+                          0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(d, f"{j}.jpg"), quality=95)
+    # packed verification pair (our native .npz layout, see
+    # eval/verify_runner.load_val_pair)
+    imgs, issame = [], []
+    for p in range(n_pairs):
+        same = p % 2 == 0
+        a = rng.randint(n_ids)
+        b = a if same else (a + 1 + rng.randint(n_ids - 1)) % n_ids
+        for ident in (a, b):
+            arr = np.clip(protos[ident] +
+                          rng.randn(size, size, 3) * 0.08, 0, 1)
+            imgs.append((arr * 2 - 1).astype(np.float32))
+        issame.append(same)
+    np.savez(os.path.join(root, "rfw_Smoke.npz"),
+             images=np.stack(imgs), issame=np.asarray(issame))
+    return train
+
+
+def run(cmd, timeout, env=None):
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=timeout, env=env)
+    dt = time.time() - t0
+    tail = (proc.stdout + proc.stderr)[-1500:]
+    return proc.returncode, dt, tail
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/sgfr_smoke")
+    ap.add_argument("--timeout", type=int, default=2400,
+                    help="per-CLI subprocess timeout (first TPU compiles "
+                    "are minutes)")
+    ap.add_argument("--report", default=os.path.join(REPO, "VERIFIED.md"))
+    ap.add_argument("--platform", default="default",
+                    choices=("default", "cpu", "tpu"),
+                    help="force the CLIs' jax backend via SGFR_PLATFORM "
+                    "(default: whatever `python` resolves to)")
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    if args.platform != "default":
+        env["SGFR_PLATFORM"] = args.platform
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+    os.makedirs(args.workdir, exist_ok=True)
+    train_root = make_data(args.workdir)
+
+    cfg = {
+        "name": "smoke", "data_root": args.workdir, "train_subdir": "faces",
+        "model_root": os.path.join(args.workdir, "ckpt"),
+        "backbone": "IR_50", "head": "ArcFace", "batch_size": 8,
+        "num_epochs": 1, "freeze_backbone_epochs": 0, "dropout": 0.0,
+        "num_workers": 2, "eval_benchmarks": ["rfw_Smoke"],
+        "stages": [], "emb_size": 512,
+    }
+    cfg_path = os.path.join(args.workdir, "stage3_smoke.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    py = sys.executable
+    results = []
+
+    results.append(("train_stage3", [py, "tools/train_stage3.py",
+                                     "--config", cfg_path,
+                                     "--max_steps", "3"]))
+    results.append(("test_rfw", [py, "tools/test_rfw.py",
+                                 "--checkpoint",
+                                 os.path.join(args.workdir, "ckpt",
+                                              "smoke"),
+                                 "--data_root", args.workdir,
+                                 "--benchmarks", "rfw_Smoke",
+                                 "--backbone", "IR_50",
+                                 "--batch_size", "8",
+                                 "--roc_dir",
+                                 os.path.join(args.workdir, "roc")]))
+    results.append(("train_stage2", [py, "tools/train_stage2.py",
+                                     "--source_root", os.path.join(
+                                         train_root, "id0"),
+                                     "--exp_dir", os.path.join(
+                                         args.workdir, "stage2"),
+                                     "--output_size", "32",
+                                     "--batch_size", "2",
+                                     "--max_steps", "3",
+                                     "--lpips_lambda", "0",
+                                     "--image_interval", "1"]))
+
+    lines = [f"\n## TPU CLI smoke — {time.strftime('%Y-%m-%d %H:%M')}\n"]
+    ok_all = True
+    for name, cmd in results:
+        print(f"[smoke] {name}: {' '.join(cmd)}", flush=True)
+        try:
+            rc, dt, tail = run(cmd, args.timeout, env=env)
+        except subprocess.TimeoutExpired:
+            rc, dt, tail = -1, args.timeout, "(timed out)"
+        ok = rc == 0
+        ok_all &= ok
+        print(f"[smoke] {name}: rc={rc} ({dt:.0f}s)", flush=True)
+        lines.append(f"### `{ ' '.join(cmd[1:]) }` (platform="
+                     f"{args.platform})\n")
+        lines.append(f"rc={rc}, {dt:.0f}s. Output tail:\n")
+        lines.append("```\n" + tail.strip()[-800:] + "\n```\n")
+
+    header = ("# VERIFIED — real-backend CLI smoke runs\n"
+              if not os.path.exists(args.report) else "")
+    with open(args.report, "a") as f:
+        if header:
+            f.write(header)
+        f.write("\n".join(lines))
+    print(f"[smoke] {'OK' if ok_all else 'FAILED'}; report -> "
+          f"{args.report}")
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,7 @@ def main():
 
     from stylegan_for_facerec_tpu.data import FacesDataset, device_augment
     from stylegan_for_facerec_tpu.data.native_loader import make_loader
-    from stylegan_for_facerec_tpu.eval import get_rfw_val_data, perform_val
+    from stylegan_for_facerec_tpu.eval import perform_val
     from stylegan_for_facerec_tpu.parallel import make_mesh
     from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
     from stylegan_for_facerec_tpu.utils.checkpoint import CheckpointManager
@@ -132,11 +132,16 @@ def main():
                                         tree["opt_state"])
             start_epoch = load_metadata(latest).get("epoch", -1) + 1
             print(f"[resume] from {latest}, epoch {start_epoch}")
-    val_data = None
-    try:
-        val_data = get_rfw_val_data(opts.data_root)
-    except FileNotFoundError:
-        print("[eval] RFW packed data not found; skipping eval")
+    # per-benchmark packed pairs named by opts.eval_benchmarks
+    # (train.py:134 get_val_data equivalent); missing files are skipped
+    from stylegan_for_facerec_tpu.eval import load_val_pair
+    val_data = {}
+    for bench_name in opts.eval_benchmarks:
+        try:
+            val_data[bench_name] = load_val_pair(
+                os.path.join(opts.data_root, bench_name))
+        except FileNotFoundError:
+            print(f"[eval] {bench_name} packed data not found; skipping")
 
     step = start_epoch * steps_per_epoch
     key = jax.random.key(1)
