@@ -81,6 +81,7 @@ class Stage2Coach:
             import optax
             self.tx = optax.adam(cfg.learning_rate)
         self._jit_train_step = jax.jit(self._train_step)
+        self._jit_val_losses = jax.jit(self._refinement_losses)
 
     # -- setup -------------------------------------------------------------
 
@@ -211,7 +212,7 @@ class Stage2Coach:
         """Step-0-style validation (coach:182-214): refinement without
         grads, returns logs of the final iteration."""
         x, y = self._shard_batch(x, y)
-        loss, (y_hat, latent, logs) = self._refinement_losses(
+        loss, (y_hat, latent, logs) = self._jit_val_losses(
             self._trainable(params), params, state, x, y, avg_image, rng)
         return loss, logs, y_hat
 
@@ -221,3 +222,19 @@ class Stage2Coach:
             return arrays
         bs = mesh_lib.batch_sharding(self.mesh)
         return tuple(jax.device_put(a, bs) for a in arrays)
+
+    def validate(self, params, state, batches, avg_image, key,
+                 max_batches: Optional[int] = None):
+        """Average validation losses over an iterable of (x, y) batches —
+        the coach's ``validate()`` (coach_restyle_psp.py:182-214, incl.
+        the best-val-loss input). Returns the aggregated loss dict."""
+        from ..utils.logging import aggregate_loss_dicts
+        agg = []
+        for bi, (x, y) in enumerate(batches):
+            if max_batches is not None and bi >= max_batches:
+                break
+            key, k = jax.random.split(key)
+            _, logs, _ = self.validate_batch(params, state, x, y,
+                                             avg_image, k)
+            agg.append({k2: float(v) for k2, v in logs.items()})
+        return aggregate_loss_dicts(agg) if agg else {}

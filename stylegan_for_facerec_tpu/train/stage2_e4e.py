@@ -50,6 +50,7 @@ class E4eCoach(Stage2Coach):
         self.tx_d = optax.adam(cfg.w_discriminator_lr, b1=0.9, b2=0.999)
         self.pool = LatentCodesPool(cfg.w_pool_size)
         self._jit_train_step = jax.jit(self._train_step)
+        self._jit_val_losses = jax.jit(self._refinement_losses)
         self._jit_d_step = jax.jit(self._d_step, static_argnames=("do_r1",))
 
     def init(self, key):
@@ -68,6 +69,7 @@ class E4eCoach(Stage2Coach):
         """Progressive schedule hook (coach_restyle_e4e.py:480-485)."""
         self.model = self.model.set_stage(stage)
         self._jit_train_step = jax.jit(self._train_step)
+        self._jit_val_losses = jax.jit(self._refinement_losses)
 
     # -- encoder-side extra losses ----------------------------------------
 
@@ -85,12 +87,21 @@ class E4eCoach(Stage2Coach):
             logs["encoder_discriminator_loss"] = loss_disc
             loss = loss + cfg.w_discriminator_lambda * loss_disc
         if cfg.progressive_steps and cfg.delta_norm_lambda > 0:
-            first_w = latent[:, 0:1, :]
-            deltas = latent[:, 1:, :] - first_w
-            delta_loss = jnp.sum(jnp.mean(jnp.linalg.norm(
-                deltas, ord=cfg.delta_norm, axis=2), axis=0))
+            # only the deltas ACTIVE at the current progressive stage are
+            # regularized (coach_restyle_e4e.py:391-402: i in
+            # 1..progressive_stage). Inactive deltas are exactly zero and
+            # d||x||/dx at x=0 is NaN — summing over all of them (the old
+            # behavior) poisons the gradients at early stages.
+            n_active = max(0, min(self.model.stage,
+                                  latent.shape[1] - 1))
+            delta_loss = jnp.zeros((), latent.dtype)
+            if n_active > 0:
+                first_w = latent[:, 0:1, :]
+                deltas = latent[:, 1:1 + n_active, :] - first_w
+                delta_loss = jnp.sum(jnp.mean(jnp.linalg.norm(
+                    deltas, ord=cfg.delta_norm, axis=2), axis=0))
+                loss = loss + cfg.delta_norm_lambda * delta_loss
             logs["total_delta_loss"] = delta_loss
-            loss = loss + cfg.delta_norm_lambda * delta_loss
         logs["loss"] = loss
         return loss, logs
 

@@ -187,3 +187,35 @@ def test_e4e_coach_sharded_matches_single(rng):
     l2 = jax.tree_util.tree_leaves(d2)[0]
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_e4e_progressive_stage0_no_nan(rng):
+    """Regression: at progressive stage 0 the inactive deltas are exactly
+    zero; regularizing them gives d||x||/dx|_0 = NaN grads. The reference
+    only regularizes dims 1..stage (coach_restyle_e4e.py:391-402)."""
+    from stylegan_for_facerec_tpu.train.stage2_e4e import E4eCoach, E4eConfig
+    cfg = E4eConfig(output_size=32, n_iters_per_batch=1, lpips_lambda=0.0,
+                    target_size=32, w_discriminator_lambda=0.1,
+                    progressive_steps=(0, 2), delta_norm_lambda=2e-4)
+    coach = E4eCoach(cfg)
+    params, state, opt_state, d_params, d_opt = coach.init(
+        jax.random.key(0))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=16)
+    avg = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    for step in range(4):
+        stage = coach.stage_for_step(step)
+        if coach.model.stage != stage:
+            coach.set_stage(stage)
+        params, opt_state, loss, logs, y_hat, latent = coach.train_step(
+            params, state, opt_state, x, x, avg, jax.random.key(3 + step),
+            d_params)
+        assert np.isfinite(float(loss)), f"step {step} loss NaN"
+        for leaf in jax.tree_util.tree_leaves(params["encoder"]):
+            assert np.isfinite(np.asarray(leaf)).all(), f"step {step}"
+    # stage 0: no active deltas -> delta loss exactly 0
+    coach.set_stage(0)
+    _, _, _, logs0, _, _ = coach.train_step(
+        params, state, opt_state, x, x, avg, jax.random.key(9), d_params)
+    assert float(logs0["total_delta_loss"]) == 0.0

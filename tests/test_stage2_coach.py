@@ -115,6 +115,24 @@ def test_stage2_sharded_matches_single(coach, setup, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_validate_aggregates_batches(coach, setup, rng):
+    """coach.validate (coach_restyle_psp.py:182-214): mean loss dict over
+    val batches, honoring max_batches."""
+    params, state, _ = setup
+    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+    batches = [(jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32)),
+                jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32)))
+               for _ in range(4)]
+    logs = coach.validate(params, state, iter(batches), avg_image,
+                          jax.random.key(9), max_batches=2)
+    assert "loss" in logs and "loss_l2" in logs
+    assert np.isfinite(logs["loss"])
+    # max_batches honored: validating over just the first two batches
+    logs2 = coach.validate(params, state, iter(batches[:2]), avg_image,
+                           jax.random.key(9))
+    np.testing.assert_allclose(logs["loss"], logs2["loss"], rtol=1e-6)
+
+
 def test_train_decoder_updates_generator(rng):
     cfg = Stage2Config(output_size=32, n_iters_per_batch=1,
                        lpips_lambda=0.0, target_size=32,

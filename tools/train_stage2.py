@@ -37,6 +37,12 @@ def main():
                     help="dump input/target/output face grids every N "
                     "steps (coach_restyle_psp.py:343-378)")
     ap.add_argument("--image_display_count", type=int, default=2)
+    ap.add_argument("--val_root", default=None,
+                    help="validation (source[,target]) root; enables the "
+                    "coach's periodic validate + best-ckpt tracking "
+                    "(coach_restyle_psp.py:192-214)")
+    ap.add_argument("--val_interval", type=int, default=1000)
+    ap.add_argument("--val_max_batches", type=int, default=20)
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu import nn
@@ -92,8 +98,32 @@ def main():
     from stylegan_for_facerec_tpu.utils.logging import MetricLogger
     logger = MetricLogger(log_dir=os.path.join(args.exp_dir, "logs"))
 
+    val_ds = None
+    if args.val_root:
+        val_ds = ImagesDataset(args.val_root, args.val_root)
+        print(f"[data] {len(val_ds)} val pairs")
+
+    def val_batches():
+        for i in range(0, len(val_ds) - args.batch_size + 1,
+                       args.batch_size):
+            items = [val_ds[j] for j in range(i, i + args.batch_size)]
+            yield (jnp.asarray(np.stack([b[0] for b in items])),
+                   jnp.asarray(np.stack([b[1] for b in items])))
+
+    def run_validation(step, params, state, key, log=True):
+        logs = coach.validate(params, state, val_batches(), avg_image,
+                              key, max_batches=args.val_max_batches)
+        if log and logs:
+            logger.log(step, logs, prefix="val/")
+        return logs.get("loss")
+
     step = 0
     key = jax.random.key(3)
+    if val_ds is not None:
+        # step-0 sanity validation, metrics discarded ("inaccurate in
+        # first batch", coach_restyle_psp.py:247-250)
+        coach.validate(params, state, val_batches(), avg_image,
+                       jax.random.key(7), max_batches=5)
     while step < args.max_steps:
         order = np.random.permutation(len(ds))
         for i in range(0, len(order) - args.batch_size + 1,
@@ -113,9 +143,17 @@ def main():
                                    "output_face": y_hat[i]}
                                   for i in range(n)])
                 logger.log_image("images/train/faces", grid, step)
+            val_loss = None
+            if (val_ds is not None and step > 0
+                    and step % args.val_interval == 0):
+                key, kv = jax.random.split(key)
+                val_loss = run_validation(step, params, state, kv)
             if step % args.save_interval == 0 and step > 0:
+                # best-model tracking keyed on VAL loss when available
+                # (coach:192-202), train loss otherwise
                 mgr.save(step, {"params": params, "state": state},
-                         metric=float(loss))
+                         metric=(val_loss if val_loss is not None
+                                 else float(loss)))
             step += 1
             if step >= args.max_steps:
                 break

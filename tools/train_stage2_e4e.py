@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--stylegan_weights", default=None)
     ap.add_argument("--lpips_weights", default=None)
     ap.add_argument("--save_interval", type=int, default=1000)
+    ap.add_argument("--image_interval", type=int, default=100)
+    ap.add_argument("--image_display_count", type=int, default=2)
+    ap.add_argument("--val_root", default=None)
+    ap.add_argument("--val_interval", type=int, default=1000)
+    ap.add_argument("--val_max_batches", type=int, default=20)
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu import nn
@@ -88,6 +93,21 @@ def main():
                        args.target_root or args.source_root)
     print(f"[data] {len(ds)} pairs")
     mgr = CheckpointManager(args.exp_dir)
+    from stylegan_for_facerec_tpu.eval.inference import face_grid
+    from stylegan_for_facerec_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(log_dir=os.path.join(args.exp_dir, "logs"))
+
+    val_ds = None
+    if args.val_root:
+        val_ds = ImagesDataset(args.val_root, args.val_root)
+        print(f"[data] {len(val_ds)} val pairs")
+
+    def val_batches():
+        for i in range(0, len(val_ds) - args.batch_size + 1,
+                       args.batch_size):
+            items = [val_ds[j] for j in range(i, i + args.batch_size)]
+            yield (jnp.asarray(np.stack([b[0] for b in items])),
+                   jnp.asarray(np.stack([b[1] for b in items])))
 
     step = 0
     cur_stage = -1
@@ -113,12 +133,32 @@ def main():
                 d_params, d_opt, d_loss = coach.train_discriminator(
                     params, state, d_params, d_opt, latent, k2, step)
             if step % 50 == 0:
-                print(f"step {step} " + " ".join(
-                    f"{k3} {float(v):.4f}" for k3, v in logs.items()))
+                extra = ({"d_loss": float(d_loss)}
+                         if cfg.w_discriminator_lambda > 0 else {})
+                logger.log(step, {**{k3: float(v)
+                                     for k3, v in logs.items()}, **extra},
+                           prefix="train/")
+            if args.image_interval and step % args.image_interval == 0:
+                n = min(args.image_display_count, x.shape[0])
+                grid = face_grid([{"input_face": x[i2], "target_face":
+                                   y[i2], "output_face": y_hat[i2]}
+                                  for i2 in range(n)])
+                logger.log_image("images/train/faces", grid, step)
+            val_loss = None
+            if (val_ds is not None and step > 0
+                    and step % args.val_interval == 0):
+                key, kv = jax.random.split(key)
+                vlogs = coach.validate(params, state, val_batches(),
+                                       avg_image, kv,
+                                       max_batches=args.val_max_batches)
+                if vlogs:
+                    logger.log(step, vlogs, prefix="val/")
+                    val_loss = vlogs.get("loss")
             if step % args.save_interval == 0 and step > 0:
                 mgr.save(step, {"params": params, "state": state,
                                 "d_params": d_params},
-                         metric=float(loss))
+                         metric=(val_loss if val_loss is not None
+                                 else float(loss)))
             step += 1
             if step >= args.max_steps:
                 break
