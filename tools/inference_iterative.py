@@ -44,10 +44,21 @@ def main():
     model = PSp(output_size=args.output_size)
     ckpt = load_checkpoint(args.checkpoint_path)
     params, state = ckpt["params"], ckpt["state"]
-    avg_image = jnp.asarray(ckpt.get("avg_image",
-                                     np.zeros((112, 112, 3), np.float32))) \
-        if isinstance(ckpt, dict) and "avg_image" in ckpt else \
-        jnp.zeros((112, 112, 3))
+    avg_image = None
+    if isinstance(ckpt, dict) and "avg_image" in ckpt:
+        avg_image = jnp.asarray(ckpt["avg_image"])
+    else:
+        # the stage-2 CLI exports avg_image.npy next to its checkpoints
+        # (coach_restyle_psp.py:88 avg_image.jpg equivalent)
+        for d in (args.checkpoint_path,
+                  os.path.dirname(args.checkpoint_path.rstrip("/"))):
+            p = os.path.join(d, "avg_image.npy")
+            if os.path.exists(p):
+                avg_image = jnp.asarray(np.load(p))
+                print(f"[init] avg image from {p}")
+                break
+    if avg_image is None:
+        avg_image = jnp.zeros((112, 112, 3))
 
     model2 = vars2 = None
     if args.model_2_checkpoint_path:

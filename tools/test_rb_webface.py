@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--backbone", default="pSp")
     ap.add_argument("--emb_size", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--groups", nargs="+", default=None,
+                    help="ethnic groups to evaluate (default: all four, "
+                    "test_RB_Webface.py:243)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.eval import make_embed_fn
@@ -38,8 +41,9 @@ def main():
     embed_fn = make_embed_fn(backbone, params, state, tta=False,
                              ccrop=False)
 
+    kw = {"groups": tuple(args.groups)} if args.groups else {}
     results = evaluate_model(embed_fn, args.data_path, args.partition_path,
-                             batch_size=args.batch_size)
+                             batch_size=args.batch_size, **kw)
     for grp, res in results.items():
         print("=" * 20)
         print("Group", grp)

@@ -37,6 +37,16 @@ def make_data(root, n_ids=6, n_imgs=6, size=128, n_pairs=12):
                           0, 1)
             Image.fromarray((arr * 255).astype(np.uint8)).save(
                 os.path.join(d, f"{j}.jpg"), quality=95)
+    # RB-WebFace layout: partition txt files list image names relative to
+    # data_dir; positives come in 5-image identity groups
+    part = os.path.join(root, "partition")
+    os.makedirs(part, exist_ok=True)
+    pos = [f"id{i % n_ids}/{j}.jpg" for i in range(2) for j in range(5)]
+    neg = [f"id{(i + 1) % n_ids}/{i % n_imgs}.jpg" for i in range(6)]
+    with open(os.path.join(part, "pos_pairs_samples_Smoke.txt"), "w") as f:
+        f.write("\n".join(pos))
+    with open(os.path.join(part, "neg_pairs_samples_Smoke.txt"), "w") as f:
+        f.write("\n".join(neg))
     # packed verification pair (our native .npz layout, see
     # eval/verify_runner.load_val_pair)
     imgs, issame = [], []
@@ -112,9 +122,24 @@ def main():
                                  "--batch_size", "8",
                                  "--roc_dir",
                                  os.path.join(args.workdir, "roc")]))
+    results.append(("test_rb_webface", [py, "tools/test_rb_webface.py",
+                                        "--checkpoint",
+                                        os.path.join(args.workdir, "ckpt",
+                                                     "smoke"),
+                                        "--data_path", train_root,
+                                        "--partition_path",
+                                        os.path.join(args.workdir,
+                                                     "partition"),
+                                        "--backbone", "IR_50",
+                                        "--batch_size", "8",
+                                        "--groups", "Smoke"]))
     results.append(("train_stage2", [py, "tools/train_stage2.py",
                                      "--source_root", os.path.join(
                                          train_root, "id0"),
+                                     "--val_root", os.path.join(
+                                         train_root, "id1"),
+                                     "--val_interval", "2",
+                                     "--val_max_batches", "1",
                                      "--exp_dir", os.path.join(
                                          args.workdir, "stage2"),
                                      "--output_size", "32",
@@ -122,6 +147,22 @@ def main():
                                      "--max_steps", "3",
                                      "--lpips_lambda", "0",
                                      "--image_interval", "1"]))
+    results.append(("inference_iterative",
+                    [py, "tools/inference_iterative.py",
+                     "--checkpoint_path",
+                     os.path.join(args.workdir, "stage2"),
+                     "--data_path", os.path.join(train_root, "id2"),
+                     "--exp_dir", os.path.join(args.workdir, "inv"),
+                     "--n_iters_per_batch", "2",
+                     "--test_batch_size", "2",
+                     "--output_size", "32", "--save_latents"]))
+    results.append(("train_stage1", [py, "tools/train_stage1.py",
+                                     "--data_root", train_root,
+                                     "--exp_dir", os.path.join(
+                                         args.workdir, "stage1"),
+                                     "--image_size", "32",
+                                     "--batch_size", "4",
+                                     "--max_steps", "3"]))
 
     lines = [f"\n## TPU CLI smoke — {time.strftime('%Y-%m-%d %H:%M')}\n"]
     ok_all = True

@@ -157,6 +157,10 @@ def main():
             step += 1
             if step >= args.max_steps:
                 break
+    # final save so short runs (and clean exits) always leave a loadable
+    # checkpoint (the reference saves a last iteration_N.pt on exit)
+    mgr.save(step, {"params": params, "state": state})
+    logger.close()
 
 
 if __name__ == "__main__":

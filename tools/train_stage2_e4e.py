@@ -162,6 +162,9 @@ def main():
             step += 1
             if step >= args.max_steps:
                 break
+    mgr.save(step, {"params": params, "state": state,
+                    "d_params": d_params})
+    logger.close()
 
 
 if __name__ == "__main__":
