@@ -300,7 +300,11 @@ def _train_step_flops(trainer, params, state, opt_state, images, labels,
     try:
         lowered = jax.jit(trainer._train_step).lower(
             params, state, opt_state, images, labels, rng, step0, None)
-        cost = lowered.compile().cost_analysis()
+        # pre-compile analysis: avoids a second multi-minute TPU compile
+        try:
+            cost = lowered.cost_analysis()
+        except Exception:  # noqa: BLE001
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) or None

@@ -95,7 +95,10 @@ def measure(bs, remat, dtype, num_classes, peak, model="IR_SE_50"):
     try:
         lowered = jax.jit(trainer._train_step).lower(
             params, state, opt_state, images, labels, rng, step0, None)
-        cost = lowered.compile().cost_analysis()
+        try:
+            cost = lowered.cost_analysis()   # no second compile
+        except Exception:  # noqa: BLE001
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
