@@ -83,10 +83,16 @@ def ada_augment(key: jax.Array, x: jax.Array, p: jax.Array) -> jax.Array:
 
 
 class Stage1Trainer:
-    """Alternating jitted D/G steps with lazy regularization."""
+    """Alternating jitted D/G steps with lazy regularization.
 
-    def __init__(self, cfg: Stage1Config):
+    ``mesh=``: data-parallel GAN training over a device mesh (batch over
+    'data', G/D replicated, XLA grad all-reduce). The reference outsources
+    stage 1 to a single-node lightning trainer (``README.md:118-123``);
+    this is the TPU-native scale-out path."""
+
+    def __init__(self, cfg: Stage1Config, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.G = Generator(z_dim=cfg.z_dim, w_dim=cfg.w_dim,
                            w_num_layers=cfg.num_mapping_layers,
                            img_resolution=cfg.image_size)
@@ -114,6 +120,10 @@ class Stage1Trainer:
             "pl_mean": jnp.zeros((), jnp.float32),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            train_state = jax.device_put(
+                train_state, mesh_lib.replicated(self.mesh))
         return train_state
 
     # -- D step ------------------------------------------------------------
@@ -248,6 +258,11 @@ class Stage1Trainer:
         kd, kg, kz1, kz2 = jax.random.split(rng, 4)
         z1 = jax.random.normal(kz1, (reals.shape[0], cfg.z_dim))
         z2 = jax.random.normal(kz2, (reals.shape[0], cfg.z_dim))
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            bs = mesh_lib.batch_sharding(self.mesh)
+            reals, z1, z2 = (jax.device_put(a, bs)
+                             for a in (reals, z1, z2))
         do_r1 = (step % cfg.lazy_gradient_penalty_interval) == 0
         do_plp = step >= cfg.lazy_path_penalty_after and \
             (step % cfg.lazy_path_penalty_interval) == 0

@@ -77,3 +77,33 @@ def test_ada_controller_moves_p(trainer, state):
     st["rt_accum"] = jnp.asarray(-10.0)  # rt << target -> p must fall
     st3 = trainer.update_ada(st, n_seen_per_interval=100000)
     assert float(st3["ada_p"]) <= float(st["ada_p"])
+
+
+def test_stage1_sharded_matches_single(trainer, state, rng):
+    """mesh= data-parallel GAN step == single-device numerics (TPU-native
+    scale-out for the stage the reference trains single-node)."""
+    from stylegan_for_facerec_tpu.parallel import make_mesh
+    from stylegan_for_facerec_tpu.utils.config import Stage1Config
+
+    reals = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    s1, logs1 = trainer.train_step(state, reals, jax.random.key(5))
+
+    cfg = Stage1Config(image_size=32, batch_size=8,
+                       lazy_gradient_penalty_interval=2,
+                       lazy_path_penalty_interval=2, ada_interval=2)
+    mesh = make_mesh(data=4, model=2)
+    mtr = Stage1Trainer(cfg, mesh=mesh)
+    with mesh:
+        ms = jax.device_put(state)
+        s2, logs2 = mtr.train_step(ms, reals, jax.random.key(5))
+
+    np.testing.assert_allclose(float(logs2["d_loss"]),
+                               float(logs1["d_loss"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(logs2["g_loss"]),
+                               float(logs1["g_loss"]), rtol=1e-4,
+                               atol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1["g"])[0]
+    l2 = jax.tree_util.tree_leaves(s2["g"])[0]
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4,
+                               atol=1e-5)
