@@ -6,10 +6,15 @@ optimizer state_dicts (``train.py:412-421``) and the stage-2 coach's
 (``coach_restyle_psp.py:259-268,380-393``), including resume
 (``train.py:206-232``).
 
-Format: a directory with ``manifest.json`` (tree structure + metadata)
-and one ``.npz`` holding all leaves — dependency-free, fast, and
-restorable into the exact pytree structure. Orbax is used when available
-for async/sharded large-scale checkpoints (opt-in).
+Formats (selected by ``backend=``, recorded in the manifest):
+  * ``npz`` (default): ``manifest.json`` (tree structure + metadata) and
+    one ``.npz`` holding all leaves — dependency-free and fast for
+    single-host trees.
+  * ``orbax``: leaves stored through ``orbax.checkpoint`` — use for
+    sharded ``jax.Array`` trees on a multi-chip mesh, where each host
+    writes only its shards instead of gathering everything to one
+    process. Structure/metadata handling is shared with the npz path, so
+    the two are interchangeable at load time.
 """
 
 from __future__ import annotations
@@ -40,18 +45,28 @@ def _flatten(tree, prefix=""):
 
 
 def save_checkpoint(path: str, tree: Any,
-                    metadata: Optional[Dict] = None) -> None:
+                    metadata: Optional[Dict] = None,
+                    backend: str = "npz") -> None:
     os.makedirs(path, exist_ok=True)
     # named-tuple-heavy optax states serialize via jax flattening
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    np.savez(os.path.join(path, "leaves.npz"),
-             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    if backend == "orbax":
+        import shutil
+        import orbax.checkpoint as ocp
+        d = os.path.join(os.path.abspath(path), "orbax")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(d, {f"leaf_{i}": l for i, l in enumerate(leaves)})
+    else:
+        np.savez(os.path.join(path, "leaves.npz"),
+                 **{f"leaf_{i}": np.asarray(l)
+                    for i, l in enumerate(leaves)})
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"treedef": str(treedef),
                    "n_leaves": len(leaves),
+                   "backend": backend,
                    "metadata": metadata or {}}, f)
-    # structure skeleton for structure-free restore
-    skeleton = jax.tree_util.tree_map(lambda x: None, tree)
     try:
         import pickle
         with open(os.path.join(path, "treedef.pkl"), "wb") as f:
@@ -64,14 +79,14 @@ def resolve_checkpoint_dir(path: str) -> str:
     """Accept either a concrete checkpoint dir or a CheckpointManager root
     (resolves to its latest ``step_*``/``best``) — so a user can point the
     eval CLIs straight at a training run's output directory."""
-    if os.path.exists(os.path.join(path, "leaves.npz")):
+    if os.path.exists(os.path.join(path, "manifest.json")):
         return path
     if os.path.isdir(path):
         steps = sorted(d for d in os.listdir(path)
                        if d.startswith("step_"))
         if steps:
             return os.path.join(path, steps[-1])
-        if os.path.exists(os.path.join(path, "best", "leaves.npz")):
+        if os.path.exists(os.path.join(path, "best", "manifest.json")):
             return os.path.join(path, "best")
     return path
 
@@ -81,8 +96,20 @@ def load_checkpoint(path: str, like: Any = None) -> Any:
     structure) is given, restore into its structure; otherwise use the
     pickled treedef. ``path`` may be a manager root (latest step used)."""
     path = resolve_checkpoint_dir(path)
-    data = np.load(os.path.join(path, "leaves.npz"))
-    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    backend = "npz"
+    manifest = os.path.join(path, "manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            backend = json.load(f).get("backend", "npz")
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            data = ckptr.restore(os.path.join(os.path.abspath(path),
+                                              "orbax"))
+        leaves = [data[f"leaf_{i}"] for i in range(len(data))]
+    else:
+        data = np.load(os.path.join(path, "leaves.npz"))
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if like is not None:
         treedef = jax.tree_util.tree_structure(like)
     else:
@@ -103,9 +130,10 @@ class CheckpointManager:
     coach's best_model/iteration_N pattern and stage 3's timestamped
     per-epoch saves."""
 
-    def __init__(self, root: str, keep: int = 5):
+    def __init__(self, root: str, keep: int = 5, backend: str = "npz"):
         self.root = root
         self.keep = keep
+        self.backend = backend
         os.makedirs(root, exist_ok=True)
         self.best: Optional[float] = None
 
@@ -119,10 +147,11 @@ class CheckpointManager:
         if metric is not None:
             meta["metric"] = metric
         p = self.step_path(step)
-        save_checkpoint(p, tree, meta)
+        save_checkpoint(p, tree, meta, backend=self.backend)
         if metric is not None and (self.best is None or metric < self.best):
             self.best = metric
-            save_checkpoint(os.path.join(self.root, "best"), tree, meta)
+            save_checkpoint(os.path.join(self.root, "best"), tree, meta,
+                            backend=self.backend)
         self._gc()
         return p
 

@@ -136,3 +136,38 @@ def test_reference_config_conversion():
     assert opts.freeze_backbone_epochs == 3
     assert opts.encoder_checkpoint is None   # the baseline config's point
     assert len(opts.stages) > 0
+
+
+def test_orbax_checkpoint_backend_roundtrip(tmp_path, rng):
+    """Opt-in orbax backend: same tree/metadata contract as npz, loadable
+    through the same load_checkpoint (backend recorded in the manifest),
+    including optax named-tuple states and manager-root resolution."""
+    import optax
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint, load_metadata, save_checkpoint)
+
+    params = {"w": jnp.asarray(rng.randn(4, 3).astype(np.float32)),
+              "nested": {"b": jnp.arange(5, dtype=jnp.int32)}}
+    tx = optax.adam(1e-3)
+    tree = {"params": params, "opt": tx.init(params)}
+
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, tree, metadata={"epoch": 3}, backend="orbax")
+    out = load_checkpoint(p)
+    assert load_metadata(p)["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # structure preserved (optax namedtuples) via pickled treedef
+    assert jax.tree_util.tree_structure(out) == \
+        jax.tree_util.tree_structure(tree)
+
+    # manager-root resolution works for the orbax layout too
+    mgr = CheckpointManager(str(tmp_path / "mgr"), backend="orbax")
+    mgr.save(7, tree, metric=1.0)
+    out2 = load_checkpoint(str(tmp_path / "mgr"), like=tree)
+    np.testing.assert_array_equal(
+        np.asarray(out2["params"]["w"]), np.asarray(params["w"]))
+    assert load_metadata(str(tmp_path / "mgr" / "best"))["step"] == 7
