@@ -40,9 +40,14 @@ class FacesDataset:
 
     def __init__(self, root: str, image_size: int = 128,
                  id2race_file: Optional[str] = None,
-                 extensions: Sequence[str] = (".jpg", ".jpeg", ".png")):
+                 extensions: Sequence[str] = (".jpg", ".jpeg", ".png"),
+                 transform=None):
         self.root = root
         self.image_size = image_size
+        # host-side per-image augmentation on the decoded uint8 RGB array
+        # (e.g. data.randaugment.RandAugment); when set, make_loader uses
+        # the Python loader — the native decoder cannot apply it
+        self.transform = transform
         self.filenames: List[str] = sorted(
             fn for ext in extensions
             for fn in glob(os.path.join(root, "*", f"*{ext}")))
@@ -71,6 +76,10 @@ class FacesDataset:
         fn = self.filenames[idx]
         try:
             img = Image.open(fn).convert("RGB")
+            if self.transform is not None:
+                img = Image.fromarray(
+                    np.asarray(self.transform(np.asarray(img, np.uint8)),
+                               np.uint8))
             s = self.image_size
             # torchvision Resize(int) resizes the SMALLER side; follow it,
             # then center-crop square so batches stack with static shapes

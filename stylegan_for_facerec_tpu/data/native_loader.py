@@ -140,6 +140,8 @@ def make_loader(dataset: FacesDataset, batch_size: int, **kw):
     silently resampled, skewing the training distribution)."""
     supported = all(f.lower().endswith(_NATIVE_EXTS)
                     for f in dataset.filenames)
+    if getattr(dataset, "transform", None) is not None:
+        supported = False  # per-image python transforms need the py loader
     if supported:
         try:
             return NativeDataLoader(dataset, batch_size, **kw)

@@ -171,3 +171,29 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(out2["params"]["w"]), np.asarray(params["w"]))
     assert load_metadata(str(tmp_path / "mgr" / "best"))["step"] == 7
+
+
+def test_faces_dataset_transform_hook(tmp_path, rng):
+    """Host transform applies before resize, and make_loader routes a
+    transform-bearing dataset to the Python loader."""
+    from PIL import Image
+    from stylegan_for_facerec_tpu.data import FacesDataset
+    from stylegan_for_facerec_tpu.data import native_loader
+    from stylegan_for_facerec_tpu.data.dataset import DataLoader
+
+    d = tmp_path / "faces" / "a"
+    d.mkdir(parents=True)
+    for i in range(3):
+        arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.jpg", quality=95)
+
+    plain = FacesDataset(str(tmp_path / "faces"))
+    inverted = FacesDataset(str(tmp_path / "faces"),
+                            transform=lambda a: 255 - a)
+    x0 = plain.load(0)[0]
+    x1 = inverted.load(0)[0]
+    # inversion in uint8 space ~ negation in [-1,1] space
+    np.testing.assert_allclose(x1, -x0, atol=0.02)
+
+    dl = native_loader.make_loader(inverted, batch_size=2)
+    assert isinstance(dl, DataLoader)

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--mesh_model_axis", type=int, default=1)
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in model_root")
+    ap.add_argument("--randaugment", type=int, default=0, metavar="N_OPS",
+                    help="enable host-side RandAugment with N ops per "
+                    "image (the reference ships data_processing/"
+                    "randaugment.py unwired; this wires it in)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.data import FacesDataset, device_augment
@@ -66,7 +70,13 @@ def main():
 
     opts = load_options(args.config)
     train_root = os.path.join(opts.data_root, opts.train_subdir)
-    ds = FacesDataset(train_root)
+    transform = None
+    if args.randaugment > 0:
+        from stylegan_for_facerec_tpu.data.randaugment import RandAugment
+        transform = RandAugment(num_ops=args.randaugment)
+        print(f"[data] RandAugment({args.randaugment} ops) enabled "
+              "(python loader)")
+    ds = FacesDataset(train_root, transform=transform)
     print(f"[data] {len(ds)} images, {ds.n_identities} identities")
     loader = make_loader(ds, opts.batch_size,
                          num_workers=opts.num_workers,
