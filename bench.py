@@ -128,27 +128,33 @@ def _log(msg):
     sys.stderr.flush()
 
 
-def _scan_time_per_iter(make_step, carry_init, short=2, long=12):
+def _scan_time_per_iter(make_step, carry_init, short=2, long=12,
+                        consts=None):
     """Device seconds per iteration of make_step, measured as
-    (T(long) - T(short)) / (long - short) with one scalar sync each."""
+    (T(long) - T(short)) / (long - short) with one scalar sync each.
+
+    ``consts`` (e.g. model params) are passed as explicit jit ARGUMENTS:
+    closing over large arrays embeds them as literals in the serialized
+    module, and the axon remote-compile helper rejects bodies past ~100MB
+    with HTTP 413 (encoder+generator param trees together exceed it)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     def runner(n):
         @jax.jit
-        def run(carry):
+        def run(carry, cs):
             def body(c, _):
-                return make_step(c), ()
+                return make_step(c, cs), ()
             c, _ = jax.lax.scan(body, carry, None, length=n)
             leaf = jax.tree_util.tree_leaves(c)[0]
             return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
         _log(f"  scan(n={n}): compiling...")
-        r = run(carry_init)
+        r = run(carry_init, consts)
         _ = np.asarray(r)        # compile + sync
         _log(f"  scan(n={n}): compiled; timing")
         t0 = time.perf_counter()
-        r = run(carry_init)
+        r = run(carry_init, consts)
         _ = np.asarray(r)
         return time.perf_counter() - t0
 
@@ -188,15 +194,16 @@ def _bench_synthesis(extras):
     bs = 128
     key = jax.random.key(1)
 
-    def synth_step(z):
-        img, _ = g.apply(gp, gs, z, nn.Ctx(train=False, rng=key),
+    def synth_step(z, cs):
+        p, s = cs
+        img, _ = g.apply(p, s, z, nn.Ctx(train=False, rng=key),
                          noise_mode="random")
         # derive next z from the image to chain iterations
         return z + 1e-6 * jnp.mean(img, axis=(1, 2))[:, :3].sum() \
             * jnp.ones_like(z)
 
     z0 = jnp.asarray(np.random.RandomState(0).randn(bs, 512), jnp.bfloat16)
-    dt = _scan_time_per_iter(synth_step, z0)
+    dt = _scan_time_per_iter(synth_step, z0, consts=(gp, gs))
     extras["synthesis_batch"] = bs
     return bs / dt
 
@@ -214,19 +221,23 @@ def _bench_embed(extras):
     ms = nn.cast_floats(ms, jnp.bfloat16)
     bs = 128
 
-    def embed_step(x):
-        e, _ = m.apply(mp, ms, x, nn.Ctx(train=False))
+    def embed_step(x, cs):
+        p, s = cs
+        e, _ = m.apply(p, s, x, nn.Ctx(train=False))
         return x + 1e-6 * jnp.mean(e) * jnp.ones_like(x)
 
     x0 = jnp.asarray(np.random.RandomState(1).randn(bs, 112, 112, 3),
                      jnp.bfloat16)
-    dt = _scan_time_per_iter(embed_step, x0)
+    dt = _scan_time_per_iter(embed_step, x0, consts=(mp, ms))
     extras["ir_se_50_embed_imgs_per_sec"] = round(bs / dt, 1)
 
 
 def _bench_inversion(extras, n_iters, bs=32):
     """ReStyle iterative inversion: encoder + 256-generator per iteration
-    (``utils/inference_utils.py:4-38``), whole loop in one jit."""
+    (``utils/inference_utils.py:4-38``), whole loop in one jit. Inputs are
+    112px as in the fork's pipeline (sources resized to 112,
+    ``coach_restyle_psp.py:156``, ``configs/transforms_config.py:20-49``);
+    each iteration re-conditions on the 256 output resized back to 112."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -234,19 +245,21 @@ def _bench_inversion(extras, n_iters, bs=32):
     from stylegan_for_facerec_tpu.eval.inference import run_on_batch
     from stylegan_for_facerec_tpu.models.psp import PSp
 
-    model = PSp(output_size=256)
+    model = PSp(output_size=256, input_size=112)
     pp, ps = model.init(jax.random.key(3))
     pp = nn.cast_floats(pp, jnp.bfloat16)
     ps = nn.cast_floats(ps, jnp.bfloat16)
-    avg_image = jnp.zeros((256, 256, 3), jnp.bfloat16)
+    avg_image = jnp.zeros((112, 112, 3), jnp.bfloat16)
 
-    def inv_step(x):
-        outs, _ = run_on_batch(model, pp, ps, x, avg_image, n_iters)
+    def inv_step(x, cs):
+        p, s = cs
+        outs, _ = run_on_batch(model, p, s, x, avg_image, n_iters)
         return x + 1e-6 * jnp.mean(outs).astype(x.dtype) * jnp.ones_like(x)
 
-    x0 = jnp.asarray(np.random.RandomState(2).randn(bs, 256, 256, 3),
+    x0 = jnp.asarray(np.random.RandomState(2).randn(bs, 112, 112, 3),
                      jnp.bfloat16)
-    dt = _scan_time_per_iter(inv_step, x0, short=1, long=5)
+    dt = _scan_time_per_iter(inv_step, x0, short=1, long=5,
+                             consts=(pp, ps))
     key = f"inversion_{n_iters}iter_imgs_per_sec"
     extras[key] = round(bs / dt, 1)
     extras[key + "_vs_baseline"] = round((bs / dt) / PER_CHIP_TARGET, 3)
@@ -275,14 +288,15 @@ def _bench_arcface_train(extras):
     rng = jax.random.key(5)
     step0 = jnp.zeros((), jnp.int32)
 
-    def train_iter(carry):
+    def train_iter(carry, cs):
         p, s, o = carry
-        p, s, o, _ = trainer._train_step(p, s, o, images, labels, rng,
+        imgs, lbls = cs
+        p, s, o, _ = trainer._train_step(p, s, o, imgs, lbls, rng,
                                          step0, None)
         return (p, s, o)
 
     dt = _scan_time_per_iter(train_iter, (params, state, opt_state),
-                             short=1, long=4)
+                             short=1, long=4, consts=(images, labels))
     ips = bs / dt
     extras["arcface_train_imgs_per_sec"] = round(ips, 1)
     extras["arcface_train_batch"] = bs
@@ -307,9 +321,60 @@ def _train_step_flops(trainer, params, state, opt_state, images, labels,
             cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        flops = float(cost.get("flops", 0.0)) or None
+        if flops:
+            return flops
     except Exception:  # noqa: BLE001 — cost model is best-effort
-        return None
+        pass
+    return _train_step_flops_cpu_child(images.shape[0])
+
+
+def _train_step_flops_cpu_child(batch_size):
+    """The axon TPU backend does not implement cost analysis; lower the
+    identical train step on a CPU-forced child and read XLA's FLOP count
+    there (the model-FLOPs denominator is backend-independent)."""
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "flops"
+    env["BENCH_TRAIN_BATCH"] = str(int(batch_size))
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, stdout=subprocess.PIPE, text=True,
+                              timeout=900)
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("FLOPS "):
+                return float(line.split()[1])
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
+
+def flops_child():
+    """_BENCH_CHILD=flops: print 'FLOPS <n>' for the stage-3 train step."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu.models import irse
+    from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
+
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "256"))
+    num_classes = int(os.environ.get("BENCH_TRAIN_CLASSES", "28000"))
+    model = os.environ.get("BENCH_TRAIN_MODEL", "IR_SE_50")
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    cfg = Stage3Config(num_classes=num_classes, batch_size=bs,
+                       freeze_backbone_epochs=0, remat=remat)
+    trainer = Stage3Trainer(getattr(irse, model)(112), cfg,
+                            steps_per_epoch=1000)
+    params, state, opt_state = trainer.init(jax.random.key(4))
+    images = jnp.zeros((bs, 112, 112, 3), jnp.float32)
+    labels = jnp.zeros((bs,), jnp.int32)
+    lowered = jax.jit(trainer._train_step).lower(
+        params, state, opt_state, images, labels, jax.random.key(5),
+        jnp.zeros((), jnp.int32), None)
+    cost = lowered.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    print(f"FLOPS {float(cost.get('flops', 0.0))}")
 
 
 def main():
@@ -393,6 +458,8 @@ if __name__ == "__main__":
         main()
     elif mode == "probe":
         probe()
+    elif mode == "flops":
+        flops_child()
     else:
         print(json.dumps(run_with_retries([sys.executable,
                                            os.path.abspath(__file__)])))

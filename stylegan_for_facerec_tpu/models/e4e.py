@@ -151,10 +151,12 @@ class E4e(PSp):
     stage: int = PROGRESSIVE_STAGE_INFERENCE
 
     def _children(self):
+        from .psp import style_spatial_for
         d = super()._children()
         d["encoder"] = ProgressiveBackboneEncoder(
             self.encoder_num_layers, "ir_se", self.n_styles,
-            input_nc=self.input_nc, stage=self.stage)
+            input_nc=self.input_nc, stage=self.stage,
+            style_spatial=style_spatial_for(self.input_size))
         return d
 
     def set_stage(self, stage: int) -> "E4e":

@@ -58,6 +58,13 @@ class GradualStyleBlock(Layer):
     def apply(self, params, state, x, ctx):
         ch = self._children()
         x, _ = ch["convs"].apply(params["convs"], {}, x, ctx)
+        if x.shape[1] != 1 or x.shape[2] != 1:
+            raise ValueError(
+                f"GradualStyleBlock(spatial={self.spatial}) ended at "
+                f"{x.shape[1]}x{x.shape[2]}, not 1x1 — the encoder's "
+                f"style_spatial does not match the input resolution "
+                f"(use style_spatial_for(input_size)); reshaping would "
+                f"silently corrupt the batch dimension")
         x = x.reshape(-1, self.out_c)
         x, _ = ch["linear"].apply(params["linear"], {}, x, ctx)
         return x, {}
@@ -433,6 +440,18 @@ def n_styles_for(output_size: int, generator_ada: bool = True) -> int:
     return n + 2 if generator_ada else n
 
 
+def style_spatial_for(input_size: int) -> int:
+    """map2style ``spatial`` arg for an encoder fed ``input_size`` images.
+
+    The IR body downsamples /16, and GradualStyleBlock applies
+    ``int(log2(spatial))`` stride-2 convs; the result must be 1x1. The
+    vendored fork hardcodes 9 for its 112px pipeline (7x7 maps, 3 convs,
+    ``restyle_psp_encoders.py:42``); upstream ReStyle used 16 for 256px.
+    """
+    fmap = max(1, input_size // 16)
+    return 9 if fmap == 7 else 1 << max(1, math.ceil(math.log2(max(2, fmap))))
+
+
 @dataclasses.dataclass(frozen=True)
 class PSp(Layer):
     """Stage-2 ReStyle pSp (``restyle-encoder/models/psp.py:17-119``):
@@ -448,6 +467,9 @@ class PSp(Layer):
     output_size: int = 128
     input_nc: int = 6
     encoder_num_layers: int = 50
+    input_size: int = 112            # resolution of the encoder's inputs
+    # (the fork's pipeline feeds 112px sources, coach_restyle_psp.py:156;
+    # set 256 for upstream-ReStyle-style full-resolution inversion)
 
     @property
     def n_styles(self):
@@ -457,7 +479,9 @@ class PSp(Layer):
         return {
             "encoder": BackboneEncoder(self.encoder_num_layers, "ir_se",
                                        self.n_styles,
-                                       input_nc=self.input_nc),
+                                       input_nc=self.input_nc,
+                                       style_spatial=style_spatial_for(
+                                           self.input_size)),
             "decoder": GeneratorAda(z_dim=512, w_dim=512, w_num_layers=8,
                                     img_resolution=self.output_size,
                                     img_channels=3),

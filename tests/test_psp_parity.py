@@ -136,3 +136,41 @@ def test_stage2_psp_iterative_refinement_shapes(rng):
                               return_latents=True)
     assert img2.shape == (2, 32, 32, 3)
     assert not np.allclose(np.asarray(lat2), np.asarray(lat))
+
+
+def test_style_spatial_for():
+    # 112px pipeline keeps the fork's hardcoded 9 (restyle_psp_encoders.py:42)
+    assert psp.style_spatial_for(112) == 9
+    # upstream-ReStyle 256px inversion needs 4 stride-2 convs
+    assert psp.style_spatial_for(256) == 16
+    assert psp.style_spatial_for(32) == 2
+
+
+@pytest.mark.parametrize("input_size", [112, 256])
+def test_psp_batch_preserved_at_input_size(input_size):
+    """Regression: spatial-9 map2style on a 16x16 feature map used to end at
+    2x2 and reshape(-1, c) silently multiplied the batch by 4."""
+    model = psp.PSp(output_size=256, input_size=input_size)
+
+    def f(key, x):
+        params, state = model.init(key)
+        return model.apply(params, state, (x, None), nn.Ctx(train=False),
+                           randomize_noise=False, return_latents=True)
+
+    # 6ch: source concatenated with the conditioning image (models/psp.py:84)
+    x = jnp.zeros((2, input_size, input_size, 6), jnp.float32)
+    (images, codes), _ = jax.eval_shape(f, jax.random.key(0), x)
+    assert images.shape == (2, 256, 256, 3)
+    assert codes.shape == (2, model.n_styles, 512)
+
+
+def test_gradual_style_block_rejects_mismatched_spatial():
+    jm = psp.GradualStyleBlock(32, 32, 9)   # 3 convs: 16 -> 8 -> 4 -> 2
+
+    def f(key, x):
+        params, _ = jm.init(key)
+        return jm.apply(params, {}, x, nn.Ctx())
+
+    with pytest.raises(ValueError, match="style_spatial"):
+        jax.eval_shape(f, jax.random.key(0),
+                       jnp.zeros((2, 16, 16, 32), jnp.float32))

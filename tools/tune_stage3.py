@@ -32,21 +32,23 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def scan_time(make_step, carry, short=1, long=4):
+def scan_time(make_step, carry, short=1, long=4, consts=None):
+    # consts ride as jit ARGUMENTS: closed-over arrays are embedded as
+    # literals and the axon remote-compile helper 413s past ~100MB
     def runner(n):
         @jax.jit
-        def run(c0):
+        def run(c0, cs):
             def body(c, _):
-                return make_step(c), ()
+                return make_step(c, cs), ()
             c, _ = jax.lax.scan(body, c0, None, length=n)
             leaf = jax.tree_util.tree_leaves(c)[0]
             return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
         t_c = time.perf_counter()
-        np.asarray(run(carry))
+        np.asarray(run(carry, consts))
         print(f"    compile+run(n={n}): {time.perf_counter() - t_c:.1f}s",
               flush=True)
         t0 = time.perf_counter()
-        np.asarray(run(carry))
+        np.asarray(run(carry, consts))
         return time.perf_counter() - t0
     ts, tl = runner(short), runner(long)
     return max((tl - ts) / (long - short), 1e-9)
@@ -84,13 +86,15 @@ def measure(bs, remat, dtype, num_classes, peak, model="IR_SE_50"):
     rng = jax.random.key(2)
     step0 = jnp.zeros((), jnp.int32)
 
-    def it(carry):
+    def it(carry, cs):
         p, s, o = carry
-        p, s, o, _ = trainer._train_step(p, s, o, images, labels, rng,
+        imgs, lbls = cs
+        p, s, o, _ = trainer._train_step(p, s, o, imgs, lbls, rng,
                                          step0, None)
         return (p, s, o)
 
-    dt = scan_time(it, (params, state, opt_state))
+    dt = scan_time(it, (params, state, opt_state),
+                   consts=(images, labels))
     flops = None
     try:
         lowered = jax.jit(trainer._train_step).lower(
@@ -104,6 +108,14 @@ def measure(bs, remat, dtype, num_classes, peak, model="IR_SE_50"):
         flops = float(cost.get("flops", 0.0)) or None
     except Exception as e:  # noqa: BLE001
         print(f"    cost_analysis failed: {e}", flush=True)
+    if flops is None and model != "tiny":
+        # axon TPU backend lacks cost analysis — lower on a CPU child
+        import bench as bench_mod
+        os.environ["BENCH_TRAIN_CLASSES"] = str(num_classes)
+        os.environ["BENCH_TRAIN_MODEL"] = model
+        os.environ["BENCH_TRAIN_REMAT"] = "1" if remat else "0"
+        flops = bench_mod._train_step_flops_cpu_child(bs)
+        print(f"    flops via CPU child: {flops}", flush=True)
     row = {"batch": bs, "remat": remat, "dtype": dtype,
            "step_ms": round(dt * 1e3, 2), "imgs_per_sec": round(bs / dt, 1)}
     if flops:
