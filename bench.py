@@ -232,7 +232,9 @@ def _bench_embed(extras):
     extras["ir_se_50_embed_imgs_per_sec"] = round(bs / dt, 1)
 
 
-def _bench_inversion(extras, n_iters, bs=32):
+def _bench_inversion(extras, n_iters, bs=128):
+    # bs swept on the v5e: 5-iter 403/s @32, 427/s @64, 564/s @128,
+    # 556/s @256 — 128 is the knee for both 1- and 5-iter configs
     """ReStyle iterative inversion: encoder + 256-generator per iteration
     (``utils/inference_utils.py:4-38``), whole loop in one jit. Inputs are
     112px as in the fork's pipeline (sources resized to 112,
