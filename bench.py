@@ -267,6 +267,46 @@ def _bench_inversion(extras, n_iters, bs=128):
     extras[key + "_vs_baseline"] = round((bs / dt) / PER_CHIP_TARGET, 3)
 
 
+def _bench_data_pipeline(extras):
+    """Host input-pipeline throughput: native C++ JPEG decode/resize loader
+    (replaces the reference's fork-worker DataLoader, ``train.py:129-132``).
+    Must outrun the train step's ~2.8k imgs/s to keep the chip fed."""
+    import shutil
+    import tempfile
+    import numpy as np
+
+    from stylegan_for_facerec_tpu.data.dataset import FacesDataset
+    from stylegan_for_facerec_tpu.data.native_loader import NativeDataLoader
+
+    root = tempfile.mkdtemp(prefix="bench_data_")
+    try:
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        n_ids, n_imgs = 8, 40
+        for i in range(n_ids):
+            d = os.path.join(root, f"id{i}")
+            os.makedirs(d)
+            for j in range(n_imgs):
+                arr = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{j}.jpg"),
+                                          quality=92)
+        ds = FacesDataset(root, image_size=128)
+        loader = NativeDataLoader(ds, batch_size=64, num_workers=8,
+                                  drop_last=True)
+        epochs = 8
+        for _ in loader:            # warm epoch: thread spin-up, page cache
+            pass
+        t0 = time.perf_counter()
+        seen = 0
+        for _ in range(epochs):
+            for imgs, _lbls in loader:
+                seen += imgs.shape[0]
+        dt = time.perf_counter() - t0
+        extras["native_loader_imgs_per_sec"] = round(seen / dt, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_arcface_train(extras):
     """Stage-3 ArcFace training step throughput + MFU (BASELINE: >=40%)."""
     import numpy as np
@@ -417,7 +457,8 @@ def main():
             ("embed", _bench_embed),
             ("inversion5", lambda ex: _bench_inversion(ex, 5)),
             ("inversion1", lambda ex: _bench_inversion(ex, 1)),
-            ("train", _bench_arcface_train)):
+            ("train", _bench_arcface_train),
+            ("data_pipeline", _bench_data_pipeline)):
         if budget_left() < 240:
             errors[name] = "skipped: bench budget exhausted"
             continue

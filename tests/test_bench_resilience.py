@@ -105,3 +105,30 @@ def test_bench_parent_side_is_jax_free():
         os.path.abspath(__file__))), "bench.py")).read()
     head = src.split("def _scan_time_per_iter", 1)[0]
     assert "import jax" not in head
+
+
+def test_flops_child_reports_train_step_flops():
+    """The axon backend lacks cost analysis; the CPU-lowered flops child is
+    the MFU denominator. Run it at tiny settings and sanity-check scaling:
+    fwd+bwd+SGD of IR-SE-50 must exceed 3 GFLOP/img (fwd alone is ~12)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env[bench._CHILD_ENV] = "flops"
+    env["BENCH_TRAIN_BATCH"] = "4"
+    env["BENCH_TRAIN_CLASSES"] = "64"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(bench.__file__),
+                                      "bench.py")],
+        env=env, stdout=subprocess.PIPE, text=True, timeout=600)
+    assert proc.returncode == 0
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("FLOPS ")]
+    assert lines, proc.stdout[-500:]
+    flops = float(lines[-1].split()[1])
+    assert flops / 4 > 3e9
+
+
+def test_data_pipeline_bench_runs():
+    extras = {}
+    bench._bench_data_pipeline(extras)
+    assert extras["native_loader_imgs_per_sec"] > 0
