@@ -303,6 +303,10 @@ def _bench_data_pipeline(extras):
                 seen += imgs.shape[0]
         dt = time.perf_counter() - t0
         extras["native_loader_imgs_per_sec"] = round(seen / dt, 1)
+        # throughput scales with host cores (0 under contention); record
+        # the denominator — the dev container exposes ONE core, real TPU
+        # hosts have dozens
+        extras["host_cpu_count"] = os.cpu_count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -84,6 +84,13 @@ def main():
                     choices=("default", "cpu", "tpu"),
                     help="force the CLIs' jax backend via SGFR_PLATFORM "
                     "(default: whatever `python` resolves to)")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these CLI names (e.g. train_stage2)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="re-run a failed CLI this many times — the dev "
+                    "tunnel's remote-compile helper fails transiently "
+                    "(dropped response bodies); a retry hits the compile "
+                    "cache and usually succeeds")
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -164,14 +171,22 @@ def main():
                                      "--batch_size", "4",
                                      "--max_steps", "3"]))
 
+    if args.only:
+        results = [(n, c) for n, c in results if n in args.only]
+
     lines = [f"\n## TPU CLI smoke — {time.strftime('%Y-%m-%d %H:%M')}\n"]
     ok_all = True
     for name, cmd in results:
         print(f"[smoke] {name}: {' '.join(cmd)}", flush=True)
-        try:
-            rc, dt, tail = run(cmd, args.timeout, env=env)
-        except subprocess.TimeoutExpired:
-            rc, dt, tail = -1, args.timeout, "(timed out)"
+        for attempt in range(1 + max(0, args.retries)):
+            try:
+                rc, dt, tail = run(cmd, args.timeout, env=env)
+            except subprocess.TimeoutExpired:
+                rc, dt, tail = -1, args.timeout, "(timed out)"
+            if rc == 0:
+                break
+            print(f"[smoke] {name}: rc={rc} ({dt:.0f}s), attempt "
+                  f"{attempt + 1}", flush=True)
         ok = rc == 0
         ok_all &= ok
         print(f"[smoke] {name}: rc={rc} ({dt:.0f}s)", flush=True)
