@@ -382,6 +382,11 @@ def _train_step_flops_cpu_child(batch_size):
     env = dict(os.environ)
     env[_CHILD_ENV] = "flops"
     env["BENCH_TRAIN_BATCH"] = str(int(batch_size))
+    # a leaked SGFR_PLATFORM=tpu would re-force the axon backend at
+    # package import time, after the child's jax.config cpu set; and CPU
+    # runs stay off the TPU cache dir (stale-AOT SIGILL gotcha)
+    env.pop("SGFR_PLATFORM", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
     try:
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, stdout=subprocess.PIPE, text=True,

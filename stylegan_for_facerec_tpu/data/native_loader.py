@@ -8,6 +8,7 @@ libjpeg is unavailable. API mirrors ``data.dataset.DataLoader``.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -24,20 +25,30 @@ _CACHE = os.path.join(tempfile.gettempdir(), "sgfr_native")
 
 def _build_library() -> Optional[str]:
     os.makedirs(_CACHE, exist_ok=True)
-    so_path = os.path.join(_CACHE, "libfastloader.so")
-    src_mtime = os.path.getmtime(_SRC)
-    if os.path.exists(so_path) and os.path.getmtime(so_path) >= src_mtime:
+    # cache key = source HASH, not mtime: rsync/tar/docker deployments
+    # preserve mtimes, and a stale .so with the old fl_next ABI would
+    # silently corrupt batches
+    src_bytes = open(_SRC, "rb").read()
+    tag = hashlib.sha1(src_bytes).hexdigest()[:12]
+    so_path = os.path.join(_CACHE, f"libfastloader-{tag}.so")
+    if os.path.exists(so_path):
         return so_path
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", so_path, "-ljpeg", "-lpng", "-lpthread"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return so_path
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        msg = getattr(e, "stderr", b"")
-        print(f"[native_loader] build failed, falling back to python "
-              f"loader: {msg[:500] if msg else e}")
-        return None
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-std=c++17", _SRC, "-o", so_path, "-ljpeg", "-lpthread"]
+    # full build first; hosts without the libpng dev library fall back to
+    # a JPEG-only build (the wrapper routes PNG datasets to the Python
+    # loader via fl_has_png)
+    for extra in (["-lpng"], ["-DSGFR_NO_PNG"]):
+        cmd = base[:-2] + extra + base[-2:]  # keep -ljpeg -lpthread last
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return so_path
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            msg = getattr(e, "stderr", b"")
+            last = f"{msg[:500] if msg else e}"
+    print(f"[native_loader] build failed, falling back to python "
+          f"loader: {last}")
+    return None
 
 
 _lib = None
@@ -63,6 +74,8 @@ def _get_lib():
                                 ctypes.POINTER(ctypes.c_int32)]
         lib.fl_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.fl_destroy.argtypes = [ctypes.c_void_p]
+        lib.fl_has_png.restype = ctypes.c_int
+        lib.fl_has_png.argtypes = []
         _lib = lib
     return _lib
 
@@ -142,6 +155,12 @@ def make_loader(dataset: FacesDataset, batch_size: int, **kw):
                     for f in dataset.filenames)
     if getattr(dataset, "transform", None) is not None:
         supported = False  # per-image python transforms need the py loader
+    if supported and any(f.lower().endswith(".png")
+                         for f in dataset.filenames):
+        # a JPEG-only build (no libpng on the host) would mis-treat PNGs
+        # as corrupt and silently resample them
+        lib = _get_lib()
+        supported = lib is not None and bool(lib.fl_has_png())
     if supported:
         try:
             return NativeDataLoader(dataset, batch_size, **kw)

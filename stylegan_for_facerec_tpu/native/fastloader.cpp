@@ -16,7 +16,9 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#ifndef SGFR_NO_PNG
 #include <png.h>
+#endif
 
 #include <algorithm>
 #include <atomic>
@@ -80,7 +82,14 @@ bool decode_jpeg(const std::string &path, std::vector<uint8_t> &rgb,
 
 // decode a PNG file into RGB8 via the libpng simplified API; returns false
 // on any error (FacesDataset globs *.png too — dataset.py:28-41 accepts
-// both, so the native path must as well)
+// both, so the native path must as well). Compiled out with -DSGFR_NO_PNG
+// on hosts lacking the libpng dev library — the wrapper then routes
+// PNG-bearing datasets to the Python loader via fl_has_png().
+#ifdef SGFR_NO_PNG
+bool decode_png(const std::string &, std::vector<uint8_t> &, int &, int &) {
+  return false;
+}
+#else
 bool decode_png(const std::string &path, std::vector<uint8_t> &rgb,
                 int &width, int &height) {
   png_image image;
@@ -97,6 +106,7 @@ bool decode_png(const std::string &path, std::vector<uint8_t> &rgb,
   height = static_cast<int>(image.height);
   return width > 0 && height > 0;
 }
+#endif  // SGFR_NO_PNG
 
 // dispatch on magic bytes (extensions lie; the reference's PIL open does
 // content sniffing too)
@@ -304,6 +314,16 @@ struct Loader {
 }  // namespace
 
 extern "C" {
+
+// 1 when PNG decoding is compiled in; the python wrapper checks this and
+// falls back to the Python loader for PNG-bearing file lists otherwise
+int fl_has_png(void) {
+#ifdef SGFR_NO_PNG
+  return 0;
+#else
+  return 1;
+#endif
+}
 
 void *fl_create(const char **paths, int n_paths, const int32_t *labels,
                 int batch_size, int out_size, int n_threads, int shuffle,

@@ -88,7 +88,7 @@ def smooth_upsample_pallas(x: jax.Array, tile_h: int = 8,
     return pl.pallas_call(
         kern,
         grid=(n, h // tile_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 2 * tile_h, 2 * w, c),
             lambda ni, i: (ni, i, 0, 0)),

@@ -149,11 +149,14 @@ def main():
                 key, kv = jax.random.split(key)
                 val_loss = run_validation(step, params, state, kv)
             if step % args.save_interval == 0 and step > 0:
-                # best-model tracking keyed on VAL loss when available
-                # (coach:192-202), train loss otherwise
+                # best-model tracking keyed on VAL loss (coach:192-202);
+                # without a val set, use train loss — but never mix the
+                # two: the train loss is summed over n_iters_per_batch
+                # refinement iterations and is not comparable
                 mgr.save(step, {"params": params, "state": state},
                          metric=(val_loss if val_loss is not None
-                                 else float(loss)))
+                                 else (float(loss) if val_ds is None
+                                       else None)))
             step += 1
             if step >= args.max_steps:
                 break

@@ -155,10 +155,14 @@ def main():
                     logger.log(step, vlogs, prefix="val/")
                     val_loss = vlogs.get("loss")
             if step % args.save_interval == 0 and step > 0:
+                # best tracked on ONE consistent quantity: val loss when a
+                # val set exists, train loss otherwise (train loss sums
+                # refinement iterations — not comparable with val loss)
                 mgr.save(step, {"params": params, "state": state,
                                 "d_params": d_params},
                          metric=(val_loss if val_loss is not None
-                                 else float(loss)))
+                                 else (float(loss) if val_ds is None
+                                       else None)))
             step += 1
             if step >= args.max_steps:
                 break
