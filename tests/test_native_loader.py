@@ -145,3 +145,40 @@ def test_native_loader_many_epochs_stress(lib_available, faces_root):
             assert np.isfinite(imgs).all()
             n += 1
         assert n == len(ds) // 5
+
+
+def test_make_loader_routes_png_to_python_when_png_unsupported(
+        tmp_path, rng, monkeypatch):
+    """A JPEG-only native build (no libpng on the host) must not mis-treat
+    PNGs as corrupt; make_loader falls back to the Python loader."""
+    from PIL import Image
+
+    root = tmp_path / "faces"
+    d = root / "a"
+    d.mkdir(parents=True)
+    arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(d / "x.png")
+    Image.fromarray(arr).save(d / "y.jpg")
+    ds = FacesDataset(str(root), image_size=32)
+
+    class NoPngLib:
+        def fl_has_png(self):
+            return 0
+
+    monkeypatch.setattr(native_loader, "_get_lib", lambda: NoPngLib())
+    loader = native_loader.make_loader(ds, batch_size=2, num_workers=1,
+                                      drop_last=False)
+    from stylegan_for_facerec_tpu.data.dataset import DataLoader
+    assert isinstance(loader, DataLoader)
+
+
+def test_build_cache_keyed_by_source_hash(tmp_path, monkeypatch):
+    """rsync/tar deployments preserve mtimes; the .so name embeds a source
+    hash so a changed source can never reuse a stale-ABI library."""
+    monkeypatch.setattr(native_loader, "_CACHE", str(tmp_path / "cache"))
+    so1 = native_loader._build_library()
+    if so1 is None:
+        pytest.skip("native toolchain unavailable")
+    src = open(native_loader._SRC, "rb").read()
+    import hashlib
+    assert hashlib.sha1(src).hexdigest()[:12] in so1
