@@ -162,6 +162,19 @@ class DataLoader:
 
         stop = object()
         abandoned = threading.Event()
+        failure = []
+
+        def put_final(item):
+            # the sentinel must never be lost: a full queue would drop a
+            # put_nowait, leaving the consumer blocked in q.get() forever
+            # (or silently truncating the epoch). Block with a timeout so
+            # an abandoned consumer doesn't pin the thread.
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue_mod.Full:
+                    continue
 
         def producer():
             try:
@@ -171,12 +184,9 @@ class DataLoader:
                     q.put(make_batch(b))
             except Exception as e:       # early consumer exit shut the pool
                 if not abandoned.is_set():
-                    raise
+                    failure.append(e)
             finally:
-                try:
-                    q.put_nowait(stop)
-                except queue_mod.Full:
-                    pass
+                put_final(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -184,6 +194,11 @@ class DataLoader:
             while True:
                 item = q.get()
                 if item is stop:
+                    if failure:
+                        # surface producer errors (e.g. '10 consecutive
+                        # corrupt samples') instead of a truncated epoch
+                        raise RuntimeError(
+                            "data loader producer failed") from failure[0]
                     break
                 yield item
         finally:

@@ -10,6 +10,7 @@ the accelerator; the threshold sweep runs via eval/verification.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Iterable, Optional, Tuple
 
 import numpy as np
@@ -24,16 +25,16 @@ def l2_norm_np(x: np.ndarray, axis: int = 1) -> np.ndarray:
     return x / np.linalg.norm(x, axis=axis, keepdims=True)
 
 
-def make_embed_fn(backbone: Layer, params, state,
-                  tta: bool = True, ccrop: bool = True,
-                  quantize: bool = True) -> Callable:
-    """jitted (B, H, W, 3) [-1,1] -> (B, emb) TTA embedding fn.
-
-    tta=True: emb = backbone(ccrop(x)) + backbone(hflip(ccrop(x))), then
-    L2 norm (the sum-then-normalize of ``util/utils.py:276-279``)."""
+@functools.lru_cache(maxsize=32)
+def _embed_jit(backbone: Layer, tta: bool, ccrop: bool, quantize: bool):
+    """One jitted embed graph per (backbone config, flags): params/state
+    ride as jit ARGUMENTS, so per-epoch multi-benchmark eval reuses one
+    compiled graph instead of re-tracing a fresh closure each call (and
+    large param trees are never serialized as literals for the
+    remote-compile backend)."""
 
     @jax.jit
-    def fn(images):
+    def fn(params, state, images):
         x = ccrop_tta(images, quantize=quantize) if ccrop else images
         e1, _ = backbone.apply(params, state, x, Ctx(train=False))
         if tta:
@@ -44,6 +45,20 @@ def make_embed_fn(backbone: Layer, params, state,
         return e / jnp.linalg.norm(e, axis=1, keepdims=True)
 
     return fn
+
+
+def make_embed_fn(backbone: Layer, params, state,
+                  tta: bool = True, ccrop: bool = True,
+                  quantize: bool = True) -> Callable:
+    """(B, H, W, 3) [-1,1] -> (B, emb) TTA embedding fn.
+
+    tta=True: emb = backbone(ccrop(x)) + backbone(hflip(ccrop(x))), then
+    L2 norm (the sum-then-normalize of ``util/utils.py:276-279``)."""
+    try:
+        fn = _embed_jit(backbone, tta, ccrop, quantize)
+    except TypeError:   # unhashable custom Layer: fall back to a fresh jit
+        fn = _embed_jit.__wrapped__(backbone, tta, ccrop, quantize)
+    return lambda images: fn(params, state, images)
 
 
 def compute_embeddings(embed_fn: Callable, carray: np.ndarray,

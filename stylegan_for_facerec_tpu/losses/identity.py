@@ -44,7 +44,14 @@ def make_irse_id_extractor(params, state, input_size: int = 112):
     pool = AdaptiveAvgPool2d(112)
 
     def extract(x):
-        x = x[:, 35:223, 32:220, :]
+        # the reference crops [35:223, 32:220] out of 256px inputs
+        # (id_loss.py:19); scale the window to the actual resolution so
+        # 112px pipeline images crop the SAME face region instead of a
+        # clamped bottom-right corner
+        h, w = x.shape[1], x.shape[2]
+        t, b = round(35 * h / 256), round(223 * h / 256)
+        l, r = round(32 * w / 256), round(220 * w / 256)
+        x = x[:, t:b, l:r, :]
         x, _ = pool.apply({}, {}, x, Ctx(train=False))
         feats, _ = backbone.apply(params, state, x, Ctx(train=False))
         return feats / jnp.linalg.norm(feats, axis=1, keepdims=True)

@@ -116,6 +116,25 @@ def apply_grad_mask(grads, mask):
     return jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
 
 
+def add_decayed_weights_masked(grads, params, weight_decay, decay_mask,
+                               grad_mask=None):
+    """torch SGD's ``g += wd*p`` restricted to ``decay_mask`` (the BN
+    exemption) and zeroed wherever ``grad_mask`` freezes a param.
+
+    The reference freezes via ``requires_grad_(False)``
+    (``train.py:263-274``): torch then skips the param entirely, so a
+    frozen param receives NEITHER gradient NOR weight-decay updates.
+    Applying the decay inside the optimizer chain would keep shrinking
+    frozen params by lr*wd*p each step — over the 3 freeze epochs that
+    would visibly erode the pretrained stage-2 encoder body."""
+    out = jax.tree_util.tree_map(
+        lambda g, p, dm: g + weight_decay * p if dm else g,
+        grads, params, decay_mask)
+    if grad_mask is not None:
+        out = apply_grad_mask(out, grad_mask)
+    return out
+
+
 def increasing_layer_decay_mask(params, first_layer_lr: float = 0.0)\
         -> dict:
     """Per-layer LR scaling mask (``apply_increasing_layer_decay``,
@@ -159,10 +178,13 @@ def increasing_layer_decay_mask(params, first_layer_lr: float = 0.0)\
 
 def gradient_centralization(use_gc_conv_only: bool = False):
     """GC operator from ranger.py:100-102,124-127: subtract the grad mean
-    over all dims but dim 0 for tensors with ndim > (3 if conv-only else 1).
-    Note torch layouts have out-channels first; our conv kernels are HWIO
-    (out last), so the mean runs over all dims but the LAST for 4-D
-    kernels and all but dim 0 for 2-D."""
+    over all dims but the OUTPUT dim for tensors with ndim > (3 if
+    conv-only else 1). Layout assumptions: 4-D kernels are HWIO (out
+    LAST -> mean over dims 0-2); 2-D weights are (out, in) torch layout
+    (mean over dim 1) — true for every dense layer Ranger trains in this
+    stack (``EqualLinear``, ADA ``FullyConnectedLayer``). ``nn.Linear``
+    stores (in, out) and is only trained by the stage-3 SGD path, which
+    does not use GC; route such weights through Ranger only with care."""
     thresh = 3 if use_gc_conv_only else 1
 
     def init_fn(params):

@@ -250,11 +250,17 @@ class Stage1Trainer:
 
     # -- public ------------------------------------------------------------
 
-    def train_step(self, state, reals, rng):
+    def train_step(self, state, reals, rng, step: Optional[int] = None):
         """One full iteration: D step (with lazy R1), G step (with lazy
-        PLP), ADA controller tick."""
+        PLP), ADA controller tick.
+
+        Pass ``step`` (a host-side counter) in hot loops: the default
+        ``int(state["step"])`` read blocks on the device (one full-step
+        sync per iteration through the ~30ms-RTT tunnel), serializing
+        dispatch. The CLI threads its own counter."""
         cfg = self.cfg
-        step = int(state["step"])
+        if step is None:
+            step = int(state["step"])
         kd, kg, kz1, kz2 = jax.random.split(rng, 4)
         z1 = jax.random.normal(kz1, (reals.shape[0], cfg.z_dim))
         z2 = jax.random.normal(kz2, (reals.shape[0], cfg.z_dim))

@@ -81,7 +81,7 @@ class Stage2Coach:
             import optax
             self.tx = optax.adam(cfg.learning_rate)
         self._jit_train_step = jax.jit(self._train_step)
-        self._jit_val_losses = jax.jit(self._refinement_losses)
+        self._jit_val_losses = jax.jit(self._val_losses)
 
     # -- setup -------------------------------------------------------------
 
@@ -158,16 +158,22 @@ class Stage2Coach:
     # -- refinement loop ---------------------------------------------------
 
     def _refinement_losses(self, trainable, params, state, x, y, avg_image,
-                           rng):
+                           rng, train: bool = True):
         """coach:138-166: unrolled n_iters_per_batch; returns summed loss
-        (== accumulated per-iter backward) and last-iter outputs."""
+        (== accumulated per-iter backward) and last-iter outputs. The
+        model state (encoder BN running stats) threads through the
+        iterations and is returned — the reference trains with
+        ``net.train()`` so each forward updates the running stats
+        (coach_restyle_psp.py:137); validation passes ``train=False``
+        (``net.eval()``, coach:182-214)."""
         cfg = self.cfg
         params = self._merge(params, trainable)
-        ctx = Ctx(train=True, rng=rng)
+        ctx = Ctx(train=train, rng=rng)
         latent_avg = state["latent_avg"]
 
         y_hat = None
         latent = None
+        cur_state = state
         total = jnp.zeros((), jnp.float32)
         logs = {}
         for it in range(cfg.n_iters_per_batch):
@@ -178,41 +184,50 @@ class Stage2Coach:
             x_input = jnp.concatenate([x, cond], axis=-1)
             carry = (None if latent is None
                      else jax.lax.stop_gradient(latent))
-            (out, latent), _ = self.model.apply(
-                params, state, (x_input, carry), ctx, resize=True,
+            (out, latent), cur_state = self.model.apply(
+                params, cur_state, (x_input, carry), ctx, resize=True,
                 randomize_noise=True, return_latents=True)
             y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
             loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg)
             total = total + loss
-        return total, (y_hat, latent, logs)
+        return total, (y_hat, latent, logs, cur_state)
+
+    def _val_losses(self, trainable, params, state, x, y, avg_image, rng):
+        return self._refinement_losses(trainable, params, state, x, y,
+                                       avg_image, rng, train=False)
 
     def _train_step(self, trainable, params, state, opt_state, x, y,
                     avg_image, rng):
-        (loss, (y_hat, latent, logs)), grads = jax.value_and_grad(
-            self._refinement_losses, has_aux=True)(
+        (loss, (y_hat, latent, logs, new_state)), grads = \
+            jax.value_and_grad(self._refinement_losses, has_aux=True)(
                 trainable, params, state, x, y, avg_image, rng)
+        # aux state is not differentiated; detach for cleanliness
+        new_state = jax.lax.stop_gradient(new_state)
         updates, new_opt = self.tx.update(grads, opt_state, trainable)
         new_trainable = jax.tree_util.tree_map(lambda p, u: p + u,
                                                trainable, updates)
-        return new_trainable, new_opt, loss, logs, y_hat
+        return new_trainable, new_state, new_opt, loss, logs, y_hat
 
     # -- public ------------------------------------------------------------
 
     def train_step(self, params, state, opt_state, x, y, avg_image, rng):
         """x: (B,112,112,3) source; y: (B,112,112,3) target (both [-1,1]).
-        Returns (new_params, new_opt_state, loss, logs, y_hat)."""
+        Returns (new_params, new_state, new_opt_state, loss, logs, y_hat);
+        new_state carries the updated encoder BN running statistics."""
         x, y = self._shard_batch(x, y)
         trainable = self._trainable(params)
-        new_trainable, new_opt, loss, logs, y_hat = self._jit_train_step(
-            trainable, params, state, opt_state, x, y, avg_image, rng)
-        return (self._merge(params, new_trainable), new_opt, loss, logs,
-                y_hat)
+        new_trainable, new_state, new_opt, loss, logs, y_hat = \
+            self._jit_train_step(trainable, params, state, opt_state, x, y,
+                                 avg_image, rng)
+        return (self._merge(params, new_trainable), new_state, new_opt,
+                loss, logs, y_hat)
 
     def validate_batch(self, params, state, x, y, avg_image, rng):
         """Step-0-style validation (coach:182-214): refinement without
-        grads, returns logs of the final iteration."""
+        grads, eval-mode BN (net.eval()), returns logs of the final
+        iteration."""
         x, y = self._shard_batch(x, y)
-        loss, (y_hat, latent, logs) = self._jit_val_losses(
+        loss, (y_hat, latent, logs, _) = self._jit_val_losses(
             self._trainable(params), params, state, x, y, avg_image, rng)
         return loss, logs, y_hat
 
@@ -224,10 +239,12 @@ class Stage2Coach:
         return tuple(jax.device_put(a, bs) for a in arrays)
 
     def validate(self, params, state, batches, avg_image, key,
-                 max_batches: Optional[int] = None):
+                 max_batches: Optional[int] = None, **val_kwargs):
         """Average validation losses over an iterable of (x, y) batches —
         the coach's ``validate()`` (coach_restyle_psp.py:182-214, incl.
-        the best-val-loss input). Returns the aggregated loss dict."""
+        the best-val-loss input). Returns the aggregated loss dict.
+        Extra kwargs (e.g. the e4e coach's ``d_params``) forward to
+        ``validate_batch``."""
         from ..utils.logging import aggregate_loss_dicts
         agg = []
         for bi, (x, y) in enumerate(batches):
@@ -235,6 +252,6 @@ class Stage2Coach:
                 break
             key, k = jax.random.split(key)
             _, logs, _ = self.validate_batch(params, state, x, y,
-                                             avg_image, k)
+                                             avg_image, k, **val_kwargs)
             agg.append({k2: float(v) for k2, v in logs.items()})
         return aggregate_loss_dicts(agg) if agg else {}

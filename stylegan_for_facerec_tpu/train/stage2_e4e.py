@@ -50,7 +50,7 @@ class E4eCoach(Stage2Coach):
         self.tx_d = optax.adam(cfg.w_discriminator_lr, b1=0.9, b2=0.999)
         self.pool = LatentCodesPool(cfg.w_pool_size)
         self._jit_train_step = jax.jit(self._train_step)
-        self._jit_val_losses = jax.jit(self._refinement_losses)
+        self._jit_val_losses = jax.jit(self._val_losses)
         self._jit_d_step = jax.jit(self._d_step, static_argnames=("do_r1",))
 
     def init(self, key):
@@ -69,7 +69,7 @@ class E4eCoach(Stage2Coach):
         """Progressive schedule hook (coach_restyle_e4e.py:480-485)."""
         self.model = self.model.set_stage(stage)
         self._jit_train_step = jax.jit(self._train_step)
-        self._jit_val_losses = jax.jit(self._refinement_losses)
+        self._jit_val_losses = jax.jit(self._val_losses)
 
     # -- encoder-side extra losses ----------------------------------------
 
@@ -106,13 +106,14 @@ class E4eCoach(Stage2Coach):
         return loss, logs
 
     def _refinement_losses(self, trainable, params, state, x, y, avg_image,
-                           rng, d_params=None):
+                           rng, d_params=None, train: bool = True):
         cfg = self.cfg
         merged = self._merge(params, trainable)
-        ctx = Ctx(train=True, rng=rng)
+        ctx = Ctx(train=train, rng=rng)
         latent_avg = state["latent_avg"]
         y_hat = None
         latent = None
+        cur_state = state
         total = jnp.zeros((), jnp.float32)
         logs = {}
         from ..ops.image import resize_bilinear
@@ -122,34 +123,52 @@ class E4eCoach(Stage2Coach):
             x_input = jnp.concatenate([x, cond], axis=-1)
             carry = None if latent is None \
                 else jax.lax.stop_gradient(latent)
-            (out, latent), _ = self.model.apply(
-                merged, state, (x_input, carry), ctx, resize=True,
+            (out, latent), cur_state = self.model.apply(
+                merged, cur_state, (x_input, carry), ctx, resize=True,
                 randomize_noise=True, return_latents=True)
             y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
             loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg,
                                          d_params)
             total = total + loss
-        return total, (y_hat, latent, logs)
+        return total, (y_hat, latent, logs, cur_state)
+
+    def _val_losses(self, trainable, params, state, x, y, avg_image, rng,
+                    d_params=None):
+        # reference e4e validate() runs net.eval() but still composes the
+        # FULL loss incl. the adversarial encoder term when the latent
+        # discriminator trains (coach_restyle_e4e.py:260-278,341-349)
+        return self._refinement_losses(trainable, params, state, x, y,
+                                       avg_image, rng, d_params,
+                                       train=False)
 
     def _train_step(self, trainable, params, state, opt_state, x, y,
                     avg_image, rng, d_params):
-        (loss, (y_hat, latent, logs)), grads = jax.value_and_grad(
-            self._refinement_losses, has_aux=True)(
+        (loss, (y_hat, latent, logs, new_state)), grads = \
+            jax.value_and_grad(self._refinement_losses, has_aux=True)(
                 trainable, params, state, x, y, avg_image, rng, d_params)
+        new_state = jax.lax.stop_gradient(new_state)
         updates, new_opt = self.tx.update(grads, opt_state, trainable)
         new_trainable = jax.tree_util.tree_map(lambda p, u: p + u,
                                                trainable, updates)
-        return new_trainable, new_opt, loss, logs, y_hat, latent
+        return new_trainable, new_state, new_opt, loss, logs, y_hat, latent
 
     def train_step(self, params, state, opt_state, x, y, avg_image, rng,
                    d_params=None):
         x, y = self._shard_batch(x, y)
         trainable = self._trainable(params)
-        new_trainable, new_opt, loss, logs, y_hat, latent = \
+        new_trainable, new_state, new_opt, loss, logs, y_hat, latent = \
             self._jit_train_step(trainable, params, state, opt_state, x, y,
                                  avg_image, rng, d_params)
-        return (self._merge(params, new_trainable), new_opt, loss, logs,
-                y_hat, latent)
+        return (self._merge(params, new_trainable), new_state, new_opt,
+                loss, logs, y_hat, latent)
+
+    def validate_batch(self, params, state, x, y, avg_image, rng,
+                       d_params=None):
+        x, y = self._shard_batch(x, y)
+        loss, (y_hat, latent, logs, _) = self._jit_val_losses(
+            self._trainable(params), params, state, x, y, avg_image, rng,
+            d_params)
+        return loss, logs, y_hat
 
     # -- discriminator side ------------------------------------------------
 

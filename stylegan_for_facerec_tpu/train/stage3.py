@@ -46,7 +46,8 @@ class Stage3Config:
     weight_decay: float = 2e-3
     batch_size: int = 100
     num_epochs: int = 100
-    stages: Sequence[int] = (20, 25, 30, 35, 40, 45, 50, 55, 60, 65)
+    # config_BUPT_IR_50_AfrAsian.py:45: STAGES = [10,15,...,120] + 5
+    stages: Sequence[int] = tuple(range(15, 130, 5))
     warmup_batches: int = 0
     freeze_backbone_epochs: int = 3
     sync_bn: bool = False
@@ -78,9 +79,11 @@ class Stage3Trainer:
             base_lr=cfg.lr, warmup_batches=cfg.warmup_batches,
             steps_per_epoch=steps_per_epoch, stages=tuple(cfg.stages))
         self.decay_mask_fn = optim.batchnorm_decay_mask(backbone)
-        self.tx = optim.sgd_torch(
-            self.schedule, momentum=cfg.momentum,
-            weight_decay=cfg.weight_decay, decay_mask=self._full_decay_mask)
+        # weight decay is applied OUTSIDE the optax chain (in _train_step,
+        # via add_decayed_weights_masked) so the freeze mask can zero it:
+        # a frozen param must receive no update at all, decay included
+        self.tx = optim.sgd_torch(self.schedule, momentum=cfg.momentum,
+                                  weight_decay=0.0)
         # donate params/state/opt_state: the step returns their successors,
         # so XLA can update in place instead of allocating fresh HBM copies
         self._jit_train_step = jax.jit(self._train_step,
@@ -171,8 +174,9 @@ class Stage3Trainer:
                     step, grad_mask):
         (loss, (new_state, (acc, acc5))), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, state, images, labels, rng)
-        if grad_mask is not None:
-            grads = optim.apply_grad_mask(grads, grad_mask)
+        grads = optim.add_decayed_weights_masked(
+            grads, params, self.cfg.weight_decay,
+            self._full_decay_mask(params), grad_mask)
         updates, new_opt_state = self.tx.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates)

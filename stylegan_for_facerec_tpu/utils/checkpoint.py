@@ -135,7 +135,17 @@ class CheckpointManager:
         self.keep = keep
         self.backend = backend
         os.makedirs(root, exist_ok=True)
+        # recover the best metric from an existing best/ checkpoint so a
+        # resumed run cannot clobber it with a worse model
         self.best: Optional[float] = None
+        best_manifest = os.path.join(root, "best", "manifest.json")
+        if os.path.exists(best_manifest):
+            try:
+                with open(best_manifest) as f:
+                    meta = json.load(f).get("metadata", {})
+                self.best = meta.get("metric")
+            except (json.JSONDecodeError, OSError):
+                pass
 
     def step_path(self, step: int) -> str:
         return os.path.join(self.root, f"step_{step:09d}")

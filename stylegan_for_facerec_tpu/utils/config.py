@@ -107,7 +107,8 @@ class Stage3Options:
     momentum: float = 0.9
     weight_decay: float = 2e-3
     num_epochs: int = 100
-    stages: Sequence[int] = (20, 25, 30, 35, 40, 45, 50, 55, 60, 65)
+    # reference STAGES = [10,15,...,120] + 5 (config_BUPT_IR_50_AfrAsian.py:45)
+    stages: Sequence[int] = tuple(range(15, 130, 5))
     warmup_epochs: int = 0
     freeze_backbone_epochs: int = 3
     dropout: float = 0.15
@@ -153,7 +154,7 @@ def from_reference_stage3(configurations: Dict[int, Dict[str, Any]],
         head=c.get("HEAD_NAME", "ArcFace"),
         loss=c.get("LOSS_NAME", "Focal"),
         encoder_checkpoint=c.get("ENCODER_CHECKPOINT"),
-        avg_image=c.get("AVG_IMAGE"),
+        avg_image=c.get("ENCODER_AVG_IMAGE"),
         input_size=tuple(c.get("INPUT_SIZE", (112, 112))),
         emb_size=c.get("EMBEDDING_SIZE", 512),
         batch_size=c.get("BATCH_SIZE", 100),
@@ -162,8 +163,12 @@ def from_reference_stage3(configurations: Dict[int, Dict[str, Any]],
         weight_decay=c.get("WEIGHT_DECAY", 2e-3),
         num_epochs=c.get("NUM_EPOCH", 100),
         stages=tuple(c.get("STAGES", ())),
+        # train.py:78 defaults WARMUP=True; warmup spans NUM_EPOCH//25
+        # epochs (train.py:250-251)
+        warmup_epochs=(c.get("NUM_EPOCH", 100) // 25
+                       if c.get("WARMUP", True) else 0),
         freeze_backbone_epochs=c.get("FREEZE_BACKBONE_EPOCHS", 0),
-        dropout=c.get("DROPOUT", 0.0) or 0.0,
+        dropout=c.get("ENCODER_ADDITIONAL_DROPOUT", 0.0) or 0.0,
         arcface_s=c.get("ARCFACE_S", 64.0),
         start_epoch=c.get("START_EPOCH", 0),
         backbone_resume=c.get("BACKBONE_RESUME_ROOT") or None,

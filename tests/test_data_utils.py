@@ -135,7 +135,15 @@ def test_reference_config_conversion():
     assert opts.batch_size == 100
     assert opts.freeze_backbone_epochs == 3
     assert opts.encoder_checkpoint is None   # the baseline config's point
-    assert len(opts.stages) > 0
+    # STAGES = [10,15,...,120]+5 (config_BUPT_IR_50_baseline.py:45)
+    assert tuple(opts.stages) == tuple(range(15, 130, 5))
+    # ENCODER_ADDITIONAL_DROPOUT (not DROPOUT) is the reference key
+    assert opts.dropout == mod.configurations[1][
+        "ENCODER_ADDITIONAL_DROPOUT"]
+    # WARMUP=False in this config -> no warmup epochs; train.py defaults
+    # WARMUP=True with NUM_EPOCH//25 otherwise
+    assert opts.warmup_epochs == (0 if not mod.configurations[1]["WARMUP"]
+                                  else opts.num_epochs // 25)
 
 
 def test_orbax_checkpoint_backend_roundtrip(tmp_path, rng):

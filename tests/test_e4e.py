@@ -131,7 +131,7 @@ def test_e4e_coach_step(rng):
                                       n_latent=32)
     avg = coach.make_avg_image(params, state, jax.random.key(2))
     x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
-    params, opt_state, loss, logs, y_hat, latent = coach.train_step(
+    params, state, opt_state, loss, logs, y_hat, latent = coach.train_step(
         params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
     assert np.isfinite(float(loss))
     assert "encoder_discriminator_loss" in logs
@@ -162,7 +162,7 @@ def test_e4e_coach_sharded_matches_single(rng):
     avg = coach.make_avg_image(params, state, jax.random.key(2))
     x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
 
-    p1, o1, loss1, logs1, yh1, lat1 = coach.train_step(
+    p1, _, o1, loss1, logs1, yh1, lat1 = coach.train_step(
         params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
     d1, do1, dl1 = coach.train_discriminator(
         params, state, d_params, d_opt, lat1, jax.random.key(4), step=0)
@@ -173,7 +173,7 @@ def test_e4e_coach_sharded_matches_single(rng):
     with mesh:
         mp, ms, mo = (jax.device_put(t) for t in (params, state, opt_state))
         md, mdo = jax.device_put(d_params), jax.device_put(d_opt)
-        p2, o2, loss2, logs2, yh2, lat2 = mcoach.train_step(
+        p2, _, o2, loss2, logs2, yh2, lat2 = mcoach.train_step(
             mp, ms, mo, x, x, avg, jax.random.key(3), md)
         d2, do2, dl2 = mcoach.train_discriminator(
             mp, ms, md, mdo, lat2, jax.random.key(4), step=0)
@@ -208,7 +208,7 @@ def test_e4e_progressive_stage0_no_nan(rng):
         stage = coach.stage_for_step(step)
         if coach.model.stage != stage:
             coach.set_stage(stage)
-        params, opt_state, loss, logs, y_hat, latent = coach.train_step(
+        params, state, opt_state, loss, logs, y_hat, latent = coach.train_step(
             params, state, opt_state, x, x, avg, jax.random.key(3 + step),
             d_params)
         assert np.isfinite(float(loss)), f"step {step} loss NaN"
@@ -216,6 +216,6 @@ def test_e4e_progressive_stage0_no_nan(rng):
             assert np.isfinite(np.asarray(leaf)).all(), f"step {step}"
     # stage 0: no active deltas -> delta loss exactly 0
     coach.set_stage(0)
-    _, _, _, logs0, _, _ = coach.train_step(
+    _, _, _, _, logs0, _, _ = coach.train_step(
         params, state, opt_state, x, x, avg, jax.random.key(9), d_params)
     assert float(logs0["total_delta_loss"]) == 0.0

@@ -49,7 +49,7 @@ def test_train_step_updates_encoder_only(coach, setup, rng):
     y = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
     enc_before = jax.tree_util.tree_leaves(params["encoder"])[0]
     dec_before = jax.tree_util.tree_leaves(params["decoder"])[0]
-    new_params, new_opt, loss, logs, y_hat = coach.train_step(
+    new_params, new_state, new_opt, loss, logs, y_hat = coach.train_step(
         params, state, opt_state, x, y, avg_image, jax.random.key(3))
     assert np.isfinite(float(loss))
     assert y_hat.shape == (2, 32, 32, 3)
@@ -93,8 +93,9 @@ def test_stage2_sharded_matches_single(coach, setup, rng):
     x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
     y = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
 
-    ref_params, ref_opt, ref_loss, ref_logs, ref_yhat = coach.train_step(
-        params, state, opt_state, x, y, avg_image, jax.random.key(3))
+    ref_params, _, ref_opt, ref_loss, ref_logs, ref_yhat = \
+        coach.train_step(
+            params, state, opt_state, x, y, avg_image, jax.random.key(3))
 
     mesh = make_mesh(data=4, model=2)
     mcoach = Stage2Coach(coach.cfg, mesh=mesh)
@@ -102,7 +103,7 @@ def test_stage2_sharded_matches_single(coach, setup, rng):
         mp = jax.device_put(params)
         ms = jax.device_put(state)
         mo = jax.device_put(opt_state)
-        m_params, m_opt, m_loss, m_logs, m_yhat = mcoach.train_step(
+        m_params, _, m_opt, m_loss, m_logs, m_yhat = mcoach.train_step(
             mp, ms, mo, x, y, avg_image, jax.random.key(3))
 
     np.testing.assert_allclose(float(m_loss), float(ref_loss),
@@ -148,8 +149,9 @@ def test_train_decoder_updates_generator(rng):
     dec_before = jax.tree_util.tree_leaves(
         params["decoder"]["synthesis"])[0]
     map_before = jax.tree_util.tree_leaves(params["decoder"]["mapping"])[0]
-    new_params, _, loss, _, _ = c.train_step(params, state, opt_state, x,
-                                             x, avg, jax.random.key(3))
+    new_params, _, _, loss, _, _ = c.train_step(params, state, opt_state,
+                                                x, x, avg,
+                                                jax.random.key(3))
     dec_after = jax.tree_util.tree_leaves(
         new_params["decoder"]["synthesis"])[0]
     map_after = jax.tree_util.tree_leaves(
@@ -159,3 +161,23 @@ def test_train_decoder_updates_generator(rng):
     assert np.any(np.asarray(dec_before) != np.asarray(dec_after))
     np.testing.assert_array_equal(np.asarray(map_before),
                                   np.asarray(map_after))
+
+
+def test_train_step_updates_bn_running_stats(coach, setup, rng):
+    """Regression: the coach used to discard the model state, so encoder
+    BN running stats stayed at init (mean 0, var 1) forever and any
+    eval-mode use of a stage-2 checkpoint normalized with garbage
+    statistics (reference trains with net.train(), coach:137)."""
+    params, state, opt_state = setup
+    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 3)
+    _, new_state, _, _, _, _ = coach.train_step(
+        params, state, opt_state, x, x, avg_image, jax.random.key(3))
+    mean_before = np.asarray(
+        state["encoder"]["input_layer"]["1"]["mean"])
+    mean_after = np.asarray(
+        new_state["encoder"]["input_layer"]["1"]["mean"])
+    assert not np.allclose(mean_before, mean_after)
+    # latent_avg is carried untouched
+    np.testing.assert_array_equal(np.asarray(state["latent_avg"]),
+                                  np.asarray(new_state["latent_avg"]))

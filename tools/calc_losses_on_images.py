@@ -60,14 +60,46 @@ def main():
                 return v
             return jax.vmap(one)(a, b)
         fns["lpips"] = lpips_batch
+    if "id" in args.mode:
+        # calc_id_loss_parallel.py equivalence: 1 - <emb(result), emb(gt)>
+        from stylegan_for_facerec_tpu.losses.identity import (
+            make_irse_id_extractor)
+        if args.id_checkpoint:
+            from stylegan_for_facerec_tpu.utils.checkpoint import (
+                load_checkpoint)
+            ck = load_checkpoint(args.id_checkpoint)
+            id_p, id_s = ck["params"], ck["state"]
+        else:
+            print("[warn] random-init ID backbone (no --id_checkpoint)")
+            from stylegan_for_facerec_tpu.models.irse import Backbone
+            id_p, id_s = Backbone(input_size=112, num_layers=50,
+                                  mode="ir_se", drop_ratio=0.6).init(
+                                      jax.random.key(1))
+        extract = make_irse_id_extractor(id_p, id_s)
+
+        @jax.jit
+        def id_batch(a, b):
+            ea, eb = extract(a), extract(b)
+            return 1.0 - jnp.sum(ea * eb, axis=1)
+        fns["id"] = id_batch
 
     scores = {m: [] for m in fns}
-    for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
-        batch = [ds[j] for j in range(i, i + args.batch_size)]
-        a = jnp.asarray(np.stack([b[0] for b in batch]))
-        b = jnp.asarray(np.stack([b[1] for b in batch]))
+    # pad the ragged tail so every pair is scored with ONE compiled shape
+    for i in range(0, len(ds), args.batch_size):
+        batch = [ds[j] for j in range(i, min(i + args.batch_size,
+                                             len(ds)))]
+        n = len(batch)
+        a = np.stack([b[0] for b in batch])
+        b = np.stack([b[1] for b in batch])
+        pad = args.batch_size - n
+        if pad:
+            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:],
+                                            a.dtype)])
+            b = np.concatenate([b, np.zeros((pad,) + b.shape[1:],
+                                            b.dtype)])
         for m, fn in fns.items():
-            scores[m].extend(np.asarray(fn(a, b)).tolist())
+            scores[m].extend(np.asarray(fn(jnp.asarray(a),
+                                           jnp.asarray(b)))[:n].tolist())
 
     out = {m: {"mean": float(np.mean(v)), "std": float(np.std(v))}
            for m, v in scores.items() if v}

@@ -76,7 +76,10 @@ def main():
         batch = np.stack([ds[j] for j in idxs])
         pad = bs - len(idxs)
         if pad:
-            batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+            # full-size zero pad: np.zeros_like(batch[:pad]) caps at the
+            # real item count and would leave a ragged (recompiling) batch
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         x = jnp.asarray(batch)
         if model2 is None:
             outs, lats = run_on_batch(model, params, state, x, avg_image,

@@ -26,15 +26,27 @@ def load_img(path, size):
     return (arr - 0.5) / 0.5
 
 
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
 def parse_pairs(pairs_file, image_root):
     """RFW pairs format: 'id img1 img2' (same) or 'id1 img1 id2 img2'
-    (diff); also accepts 'path1 path2 label'."""
+    (diff) — ``pack_RFW_in_bcolz.py:27-45``; also accepts
+    'path1 path2 label'. A 3-column line whose middle field is an integer
+    is ALWAYS an RFW positive pair: 'm.0123 4 1' means images 4 and 1 of
+    one identity, not (path, path='1', label) — image numbers <= 1 are
+    common and must not trip the path-pair branch."""
     pairs = []
     for line in open(pairs_file).read().splitlines():
         f = line.split()
         if not f:
             continue
-        if len(f) == 3 and f[2] in ("0", "1"):
+        if len(f) == 3 and f[2] in ("0", "1") and not _is_int(f[1]):
             pairs.append((f[0], f[1], f[2] == "1"))
         elif len(f) == 3:
             ident, a, b = f

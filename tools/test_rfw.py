@@ -39,7 +39,6 @@ def main():
     else:
         backbone = getattr(irse, args.backbone)(112,
                                                 emb_size=args.emb_size)
-    tpl_p, tpl_s = backbone.init(jax.random.key(0))
     ckpt = load_checkpoint(args.checkpoint)
     params = ckpt["params"].get("backbone", ckpt["params"])
     state = ckpt["state"].get("backbone", ckpt["state"])

@@ -94,9 +94,12 @@ def main():
     args = ap.parse_args()
 
     env = dict(os.environ)
+    # persistent compile cache for EVERY platform: retries only help if
+    # they hit the cache, and default (real-TPU) first compiles cost
+    # minutes through the remote-compile helper
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     if args.platform != "default":
         env["SGFR_PLATFORM"] = args.platform
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
     os.makedirs(args.workdir, exist_ok=True)
     train_root = make_data(args.workdir)

@@ -47,13 +47,18 @@ def main():
     step = 0
     key = jax.random.key(1)
     max_steps = args.max_steps or cfg.num_epochs * cfg.batches_per_epoch
+    if len(ds) < cfg.batch_size:
+        raise SystemExit(f"dataset has {len(ds)} images < batch_size "
+                         f"{cfg.batch_size}: no full batch can form "
+                         f"(the epoch loop would spin forever)")
     while step < max_steps:
         order = np.random.permutation(len(ds))
         for i in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
             reals = jnp.asarray(np.stack(
                 [ds[j] for j in order[i: i + cfg.batch_size]]))
             key, k = jax.random.split(key)
-            state, logs = trainer.train_step(state, reals, k)
+            # host-side step avoids a per-iteration device sync
+            state, logs = trainer.train_step(state, reals, k, step=step)
             if step % 50 == 0:
                 print(f"step {step} " + " ".join(
                     f"{k2} {float(v):.4f}" for k2, v in logs.items()))

@@ -118,6 +118,10 @@ def main():
         return logs.get("loss")
 
     step = 0
+    if len(ds) < args.batch_size:
+        raise SystemExit(f"dataset has {len(ds)} pairs < batch_size "
+                         f"{args.batch_size}: no full batch can form "
+                         f"(the epoch loop would spin forever)")
     key = jax.random.key(3)
     if val_ds is not None:
         # step-0 sanity validation, metrics discarded ("inaccurate in
@@ -132,7 +136,7 @@ def main():
             x = jnp.asarray(np.stack([b[0] for b in batch]))
             y = jnp.asarray(np.stack([b[1] for b in batch]))
             key, k = jax.random.split(key)
-            params, opt_state, loss, logs, y_hat = coach.train_step(
+            params, state, opt_state, loss, logs, y_hat = coach.train_step(
                 params, state, opt_state, x, y, avg_image, k)
             if step % 50 == 0:
                 logger.log(step, {k2: float(v) for k2, v in logs.items()},

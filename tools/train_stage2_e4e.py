@@ -110,6 +110,10 @@ def main():
                    jnp.asarray(np.stack([b[1] for b in items])))
 
     step = 0
+    if len(ds) < args.batch_size:
+        raise SystemExit(f"dataset has {len(ds)} pairs < batch_size "
+                         f"{args.batch_size}: no full batch can form "
+                         f"(the epoch loop would spin forever)")
     cur_stage = -1
     key = jax.random.key(3)
     while step < args.max_steps:
@@ -126,7 +130,7 @@ def main():
             x = jnp.asarray(np.stack([b[0] for b in batch]))
             y = jnp.asarray(np.stack([b[1] for b in batch]))
             key, k1, k2 = jax.random.split(key, 3)
-            params, opt_state, loss, logs, y_hat, latent = \
+            params, state, opt_state, loss, logs, y_hat, latent = \
                 coach.train_step(params, state, opt_state, x, y, avg_image,
                                  k1, d_params)
             if cfg.w_discriminator_lambda > 0:
@@ -148,9 +152,12 @@ def main():
             if (val_ds is not None and step > 0
                     and step % args.val_interval == 0):
                 key, kv = jax.random.split(key)
+                # d_params included: the reference e4e validate() composes
+                # the full loss incl. the adversarial encoder term
                 vlogs = coach.validate(params, state, val_batches(),
                                        avg_image, kv,
-                                       max_batches=args.val_max_batches)
+                                       max_batches=args.val_max_batches,
+                                       d_params=d_params)
                 if vlogs:
                     logger.log(step, vlogs, prefix="val/")
                     val_loss = vlogs.get("loss")
