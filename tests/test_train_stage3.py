@@ -209,3 +209,28 @@ def test_increasing_layer_decay_mask():
     assert float(mask["a"]["bias"]) == pytest.approx(0.5)
     assert float(mask["b"]["weight"]) == pytest.approx(1.0)
     assert float(mask["c"]["mean"]) == pytest.approx(1.0)
+
+
+def test_frozen_body_params_receive_no_update(rng):
+    """Regression: weight decay used to be applied inside the optimizer
+    chain, so 'frozen' body params shrank by lr*wd*p every step despite
+    the zeroed grads — the reference's requires_grad_(False) skips frozen
+    params ENTIRELY (train.py:263-274). Frozen leaves must come back
+    bit-identical."""
+    trainer = make_trainer(freeze_backbone_epochs=3, weight_decay=2e-3)
+    params, state, opt = trainer.init(jax.random.key(0))
+    images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 64, 16))
+    mask = trainer.freeze_mask(params, frozen=True)
+    # snapshot before the step: train_step donates the params buffers
+    body_before = [np.asarray(l) for l in
+                   jax.tree_util.tree_leaves(params["backbone"]["body"])]
+    head_before = np.asarray(params["head"]["weight"])
+    p2, _, _, _ = trainer.train_step(params, state, opt, images, labels,
+                                     jax.random.key(1),
+                                     jnp.zeros((), jnp.int32), mask)
+    body_after = jax.tree_util.tree_leaves(p2["backbone"]["body"])
+    for a, b in zip(body_before, body_after):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # unfrozen leaves (head) DO move
+    assert not np.allclose(head_before, np.asarray(p2["head"]["weight"]))
