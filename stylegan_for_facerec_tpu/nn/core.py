@@ -52,9 +52,13 @@ class Ctx:
         return jax.random.fold_in(self._key, self._count)
 
     def replace(self, **kw) -> "Ctx":
-        c = Ctx(train=kw.get("train", self.train),
-                rng=kw.get("rng", self._key))
-        return c
+        rng = kw.get("rng", self._key)
+        if "rng" not in kw and self._key is not None:
+            # fork the stream: a derived Ctx sharing the parent's key
+            # verbatim would regenerate the parent's exact make_rng()
+            # sequence (correlated dropout/noise between branches)
+            rng = self.make_rng()
+        return Ctx(train=kw.get("train", self.train), rng=rng)
 
 
 class Layer:

@@ -56,9 +56,13 @@ class Linear(Layer):
         return p, {}
 
     def apply(self, params, state, x, ctx):
-        y = jnp.dot(x, params["weight"], preferred_element_type=x.dtype)
+        # cast params to the activation dtype (as Conv2d does): f32 bias +
+        # bf16 activations would silently promote everything downstream
+        # to f32, breaking the bf16-compute/f32-params split
+        y = jnp.dot(x, params["weight"].astype(x.dtype),
+                    preferred_element_type=x.dtype)
         if self.use_bias:
-            y = y + params["bias"]
+            y = y + params["bias"].astype(x.dtype)
         return y, {}
 
 
@@ -145,12 +149,19 @@ class BatchNorm(Layer):
         if ctx.train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
-            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
             if self.sync_axes:
-                # sync-BN over the data-parallel mesh axes: average moments
+                # sync-BN over the data-parallel mesh axes: global mean
+                # first, then pooled variance around it (equal per-device
+                # batch shares under SPMD sharding)
                 mean = lax.pmean(mean, self.sync_axes)
-                mean_sq = lax.pmean(mean_sq, self.sync_axes)
-            var = mean_sq - jnp.square(mean)
+            # two-pass variance: the one-pass E[x^2]-E[x]^2 form
+            # catastrophically cancels in f32 for channels with
+            # |mean| >> std (var off by orders of magnitude, or negative
+            # past eps -> NaN via rsqrt); torch computes two-pass
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            if self.sync_axes:
+                var = lax.pmean(var, self.sync_axes)
+            var = jnp.maximum(var, 0.0)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]

@@ -39,9 +39,13 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize NHWC, half-pixel centers, no anti-aliasing.
 
-    Matches ``torch.nn.functional.interpolate(..., mode='bilinear',
-    align_corners=False)`` used at ``/root/reference/backbone/restyle_psp.py:443``
-    and ``coach_restyle_psp.py:82,156``.
+    Same semantics as ``torch.nn.functional.interpolate(...,
+    mode='bilinear', align_corners=False)`` used at
+    ``/root/reference/backbone/restyle_psp.py:443`` and
+    ``coach_restyle_psp.py:82,156``. Interpolation weights are computed
+    in f64 here vs torch's internal source-index math, so agreement is
+    ~1e-4 abs (not bit-exact) at e.g. 256->224; parity tests downstream
+    of a resize should use tolerances accordingly.
     """
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
@@ -96,9 +100,16 @@ def center_crop(x: jax.Array, size: int) -> jax.Array:
 def quantize_uint8_roundtrip(x: jax.Array) -> jax.Array:
     """Emulate the reference's ToPILImage/ToTensor uint8 round trip on
     [-1, 1] inputs (``util/utils.py:199-228``): x in [-1,1] -> uint8 ->
-    back to [-1,1]. Needed for bit-level parity of eval TTA."""
+    back to [-1,1].
+
+    torchvision ToPILImage converts via ``pic.mul(255).byte()`` —
+    TRUNCATION — so floor (not round) is the faithful in-range mapping;
+    identical for uint8-origin data (x01*255 integral), and matches the
+    reference for off-grid (e.g. synthesized) pixels too. Deliberate
+    deviation: out-of-range values clip here where ``.byte()`` would
+    wrap around (a torch quirk, not a behavior worth preserving)."""
     x01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-    q = jnp.round(x01 * 255.0)
+    q = jnp.floor(x01 * 255.0)
     return (q / 255.0 - 0.5) / 0.5
 
 

@@ -102,8 +102,9 @@ def upfirdn2d(x: jax.Array, kernel, up: Union[int, Sequence[int]] = 1,
 def upfirdn2d_ref(x: jax.Array, kernel, up=1, down=1, pad=(0, 0)) -> jax.Array:
     """Slow literal translation of ``upfirdn2d_native`` semantics in pure
     jnp — used only as a test oracle for the fused implementation."""
-    up_x = up_y = up if isinstance(up, int) else None
-    down_x = down_y = down if isinstance(down, int) else None
+    # tuple order (x, y), matching the fused upfirdn2d above
+    up_x, up_y = (up, up) if isinstance(up, int) else up
+    down_x, down_y = (down, down) if isinstance(down, int) else down
     pad_x0, pad_x1, pad_y0, pad_y1 = _pads(pad)
     n, h, w, c = x.shape
     kernel = jnp.asarray(np.asarray(kernel, np.float32), x.dtype)

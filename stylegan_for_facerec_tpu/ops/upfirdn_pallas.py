@@ -7,8 +7,10 @@ The TPU twin of the reference CUDA ``upfirdn2d`` kernel's hot dispatch mode
 ops/resample.py).
 
 Polyphase decomposition: for up=2 with k = [1,4,6,4,1]/8 the two phases are
-  even rows/cols:  (x[i-1] + 6 x[i] + x[i+1]) / 8
-  odd  rows/cols:  (x[i] + x[i+1]) / 2
+  even rows/cols:  out[2i]   = (x[i-1] + x[i]) / 2
+  odd  rows/cols:  out[2i+1] = (x[i-1] + 6 x[i] + x[i+1]) / 8
+(phases as the kernel body computes them, bit-equivalent to
+ops/resample.smooth_upsample)
 so the whole op is a handful of VPU adds per tile — one HBM read and one
 HBM write, no intermediate 4x nearest tensor, no im2col.
 

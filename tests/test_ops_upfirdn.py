@@ -83,3 +83,17 @@ def test_upfirdn2d_grad_flows(rng):
     g = jax.grad(f)(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_upfirdn2d_asymmetric_up_down_matches_ref(rng):
+    """Tuple up/down configs (e.g. up=(2,1)) vs the literal oracle —
+    upfirdn2d_ref used to crash on tuples, leaving these paths untested."""
+    x = jnp.asarray(rng.randn(2, 6, 5, 3).astype(np.float32))
+    k = jnp.asarray(rng.rand(3, 4).astype(np.float32))
+    for up, down, pad in (((2, 1), 1, (1, 1)),
+                          (1, (1, 2), (2, 1)),
+                          ((2, 3), (3, 1), (1, 2))):
+        got = upfirdn2d(x, k, up=up, down=down, pad=pad)
+        want = upfirdn2d_ref(x, k, up=up, down=down, pad=pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
