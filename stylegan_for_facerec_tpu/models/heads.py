@@ -223,20 +223,46 @@ class AmSoftmax(Layer):
 
 @dataclasses.dataclass(frozen=True)
 class AdaCos(Layer):
-    """Adaptively scaling cosine logits (``head/metrics.py:336-368``):
-    fixed variant, scale = sqrt(2) * log(C - 1)."""
+    """Adaptively scaling cosine logits (``head/metrics.py:336-368``).
+
+    The torch version mutates ``self.scale`` every forward under no_grad:
+    ``B_avg = sum(exp(scale_old * cos) over negatives) / B``,
+    ``theta_med = median(theta[target])``, then
+    ``scale_new = log(B_avg) / cos(min(pi/4, theta_med))`` — and the
+    *returned* logits use the NEW scale. Here the scale is explicit
+    carried state (initialized to ``sqrt(2) * log(C-1)``), updated under
+    ``stop_gradient`` to match no_grad semantics.
+
+    Note ``torch.median`` over an even-length vector returns the LOWER of
+    the two middle elements (no interpolation); we sort and index
+    ``(B-1)//2`` rather than use ``jnp.median`` to stay oracle-exact.
+    """
 
     in_features: int
     out_features: int
 
     def init(self, key):
-        return {"weight": initializers.xavier_uniform(
-            key, (self.out_features, self.in_features), layout="oi")}, {}
+        params = {"weight": initializers.xavier_uniform(
+            key, (self.out_features, self.in_features), layout="oi")}
+        scale0 = math.sqrt(2) * math.log(self.out_features - 1)
+        return params, {"scale": jnp.asarray(scale0, jnp.float32)}
 
     def apply(self, params, state, inputs, ctx):
         features, labels = inputs
-        scale = math.sqrt(2) * math.log(self.out_features - 1)
-        return cosine_logits(features, params["weight"]) * scale, {}
+        logits = cosine_logits(features, params["weight"])
+        theta = jnp.arccos(jnp.clip(logits, -1.0 + 1e-7, 1.0 - 1e-7))
+        one_hot = jax.nn.one_hot(labels, self.out_features,
+                                 dtype=logits.dtype)
+        b = features.shape[0]
+        b_avg = jnp.sum(jnp.where(one_hot < 1,
+                                  jnp.exp(state["scale"] * logits),
+                                  jnp.zeros_like(logits))) / b
+        target_theta = jnp.take_along_axis(
+            theta, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+        theta_med = jnp.sort(target_theta)[(b - 1) // 2]
+        scale_new = jax.lax.stop_gradient(
+            jnp.log(b_avg) / jnp.cos(jnp.minimum(math.pi / 4, theta_med)))
+        return scale_new * logits, {"scale": scale_new}
 
 
 @dataclasses.dataclass(frozen=True)

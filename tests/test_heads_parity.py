@@ -136,3 +136,43 @@ def test_curricularface_parity_and_grads(ref_heads, rng):
     g_j = jax.grad(total)(jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(g_j), tf.grad.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_adacos_adaptive_scale_parity(ref_heads, rng):
+    """AdaCos recomputes its scale from batch stats every forward
+    (head/metrics.py:362-368) and the returned logits use the NEW scale.
+    Run 3 steps on different batches so the carried-state update is
+    actually exercised (step 2+ depends on step 1's scale via B_avg)."""
+    th = ref_heads.AdaCos(32, 20)
+    jh = heads.AdaCos(32, 20)
+    params = {"weight": jnp.asarray(th.W.detach().numpy())}
+    _, state = jh.init(jax.random.key(0))
+    np.testing.assert_allclose(float(state["scale"]), float(th.scale),
+                               rtol=1e-6)
+
+    for step in range(3):
+        feats, labels = _data(rng)
+        with torch.no_grad():
+            want = th(torch.tensor(feats), torch.tensor(labels)).numpy()
+        got, state = jh.apply(
+            params, state, (jnp.asarray(feats), jnp.asarray(labels)),
+            nn.Ctx(train=True))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(state["scale"]), float(th.scale),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adacos_scale_carries_no_gradient(rng):
+    """The scale update happens under no_grad in the reference; gradients
+    w.r.t. features must not flow through the B_avg/theta_med statistic."""
+    feats, labels = _data(rng)
+    jh = heads.AdaCos(32, 20)
+    params, state = jh.init(jax.random.key(1))
+
+    def loss(f):
+        out, _ = jh.apply(params, state, (f, jnp.asarray(labels)), nn.Ctx())
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(jnp.asarray(feats))
+    assert np.isfinite(np.asarray(g)).all()
