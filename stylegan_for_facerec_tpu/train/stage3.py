@@ -59,6 +59,11 @@ class Stage3Config:
     remat: bool = False              # jax.checkpoint the backbone forward
     # (rematerialize activations in backward: trades ~1/3 more FLOPs for
     # activation memory, enabling much larger per-chip batches)
+    augment_crop: Optional[int] = None
+    # when set, RandomCrop(augment_crop) + RandomHorizontalFlip run INSIDE
+    # the jitted train step (train.py:109-117 transform tail) — one
+    # dispatch per batch instead of separate eager augment calls, and the
+    # uncropped batch never round-trips HBM
 
 
 class Stage3Trainer:
@@ -143,6 +148,10 @@ class Stage3Trainer:
 
     def _loss_fn(self, params, state, images, labels, rng):
         ctx = Ctx(train=True, rng=rng)
+        if images.dtype == jnp.uint8:
+            # packed-shard path (data/packed.py): uint8 ships host->device
+            # 4x cheaper; x/127.5 - 1 == ToTensor + Normalize(0.5, 0.5)
+            images = images.astype(jnp.float32) / 127.5 - 1.0
         b_params = params["backbone"]
         if self.cfg.compute_dtype == "bfloat16":
             from ..nn import cast_floats
@@ -172,6 +181,11 @@ class Stage3Trainer:
 
     def _train_step(self, params, state, opt_state, images, labels, rng,
                     step, grad_mask):
+        if self.cfg.augment_crop is not None:
+            from ..ops.image import random_crop, random_hflip
+            rng, k_crop, k_flip = jax.random.split(rng, 3)
+            images = random_crop(k_crop, images, self.cfg.augment_crop)
+            images = random_hflip(k_flip, images)
         (loss, (new_state, (acc, acc5))), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, state, images, labels, rng)
         grads = optim.add_decayed_weights_masked(

@@ -35,16 +35,22 @@ def load_options(path):
 
 
 def build_backbone(opts, num_classes):
-    from stylegan_for_facerec_tpu.models import irse, psp
+    """train.py:138-176 BACKBONE_DICT: ResNet_50/101/152, IR_*/IR_SE_*,
+    plus pSp (the paper path) and MobileFaceNet."""
+    from stylegan_for_facerec_tpu.models import (irse, mobilefacenet, psp,
+                                                 resnet)
     name = opts.backbone
     if name == "pSp":
         return psp.PSpFaceRec(size=opts.input_size[0],
                               emb_size=opts.emb_size,
                               block_dropout=opts.dropout or None)
-    factory = getattr(irse, name, None)
-    if factory is None:
-        raise SystemExit(f"unknown backbone {name}")
-    return factory(opts.input_size[0], emb_size=opts.emb_size)
+    if name == "MobileFaceNet":
+        return mobilefacenet.MobileFaceNet(embedding_size=opts.emb_size)
+    for mod in (irse, resnet):
+        factory = getattr(mod, name, None)
+        if factory is not None:
+            return factory(opts.input_size[0], emb_size=opts.emb_size)
+    raise SystemExit(f"unknown backbone {name}")
 
 
 def main():
@@ -59,9 +65,16 @@ def main():
                     help="enable host-side RandAugment with N ops per "
                     "image (the reference ships data_processing/"
                     "randaugment.py unwired; this wires it in)")
+    ap.add_argument("--packed_dir", default=None,
+                    help="pre-decoded uint8 shard directory made by "
+                    "tools/pack_train.py; skips JPEG decode entirely")
+    ap.add_argument("--no_prefetch", action="store_true",
+                    help="disable the host->device double-buffering")
     args = ap.parse_args()
 
-    from stylegan_for_facerec_tpu.data import FacesDataset, device_augment
+    from stylegan_for_facerec_tpu.data import (
+        FacesDataset, PackedLoader, PackedTrainDataset,
+        device_prefetch, is_packed_dir)
     from stylegan_for_facerec_tpu.data.native_loader import make_loader
     from stylegan_for_facerec_tpu.eval import perform_val
     from stylegan_for_facerec_tpu.parallel import make_mesh
@@ -70,17 +83,30 @@ def main():
 
     opts = load_options(args.config)
     train_root = os.path.join(opts.data_root, opts.train_subdir)
-    transform = None
-    if args.randaugment > 0:
-        from stylegan_for_facerec_tpu.data.randaugment import RandAugment
-        transform = RandAugment(num_ops=args.randaugment)
-        print(f"[data] RandAugment({args.randaugment} ops) enabled "
-              "(python loader)")
-    ds = FacesDataset(train_root, transform=transform)
-    print(f"[data] {len(ds)} images, {ds.n_identities} identities")
-    loader = make_loader(ds, opts.batch_size,
-                         num_workers=opts.num_workers,
-                         drop_last=opts.drop_last)
+    packed_dir = args.packed_dir
+    if packed_dir is None and is_packed_dir(train_root):
+        packed_dir = train_root
+    if packed_dir is not None:
+        if args.randaugment > 0:
+            raise SystemExit("--randaugment needs the decode-path loader; "
+                             "it cannot run on packed uint8 shards")
+        ds = PackedTrainDataset(packed_dir)
+        print(f"[data] packed: {len(ds)} images, {ds.n_identities} "
+              f"identities from {packed_dir}")
+        loader = PackedLoader(ds, opts.batch_size,
+                              drop_last=opts.drop_last)
+    else:
+        transform = None
+        if args.randaugment > 0:
+            from stylegan_for_facerec_tpu.data.randaugment import RandAugment
+            transform = RandAugment(num_ops=args.randaugment)
+            print(f"[data] RandAugment({args.randaugment} ops) enabled "
+                  "(python loader)")
+        ds = FacesDataset(train_root, transform=transform)
+        print(f"[data] {len(ds)} images, {ds.n_identities} identities")
+        loader = make_loader(ds, opts.batch_size,
+                             num_workers=opts.num_workers,
+                             drop_last=opts.drop_last)
     steps_per_epoch = len(loader)
 
     n_dev = len(jax.devices())
@@ -96,7 +122,8 @@ def main():
         batch_size=opts.batch_size, num_epochs=opts.num_epochs,
         stages=tuple(opts.stages),
         warmup_batches=opts.warmup_epochs * steps_per_epoch,
-        freeze_backbone_epochs=opts.freeze_backbone_epochs)
+        freeze_backbone_epochs=opts.freeze_backbone_epochs,
+        augment_crop=opts.input_size[0])
     trainer = Stage3Trainer(backbone, cfg, mesh=mesh,
                             steps_per_epoch=steps_per_epoch)
     params, state, opt_state = trainer.init(jax.random.key(0))
@@ -155,6 +182,7 @@ def main():
 
     step = start_epoch * steps_per_epoch
     key = jax.random.key(1)
+    from stylegan_for_facerec_tpu.utils.logging import AverageMeter
     for epoch in range(start_epoch, opts.num_epochs):
         # reference freezes while epoch <= FREEZE_BACKBONE_EPOCHS
         # (train.py:263-274) with 1-based epochs; our epochs are 0-based so
@@ -163,22 +191,58 @@ def main():
                   and epoch <= opts.freeze_backbone_epochs)
         mask = trainer.freeze_mask(params, frozen=frozen)
         t0 = time.time()
-        for images, labels in loader:
-            key, k_aug, k_step = jax.random.split(key, 3)
-            images = device_augment(k_aug, jnp.asarray(images),
-                                    crop=opts.input_size[0])
+        # epoch AverageMeter aggregates, matching train.py:276-279,347-355
+        losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
+        batch_iter = iter(loader)
+        if not args.no_prefetch:
+            # ship batch k+1 host->device while the device runs batch k
+            from stylegan_for_facerec_tpu.parallel import (
+                mesh as mesh_lib)
+            shardings = None
+            if mesh is not None:
+                bs = mesh_lib.batch_sharding(mesh)
+                shardings = (bs, bs)
+            batch_iter = device_prefetch(batch_iter, sharding=shardings)
+        # metric reads lag one step so float() never stalls the device:
+        # by the time we read step k's scalars, step k+1 is dispatched
+        pending = None  # (step, metrics) of the previously dispatched step
+
+        def drain(p):
+            st, m = p
+            vals = {k: float(v) for k, v in m.items()}
+            losses.update(vals["loss"])
+            top1.update(vals["top1"])
+            top5.update(vals["top5"])
+            # train_loss every 10 batches (train.py:329-331)
+            if st % 10 == 0:
+                logger.log(st, {"train_loss": vals["loss"],
+                                "train_top1": vals["top1"],
+                                "train_top5": vals["top5"],
+                                "lr": vals["lr"], "epoch": epoch})
+
+        for images, labels in batch_iter:
+            # crop/flip happen inside the jitted step (cfg.augment_crop):
+            # one dispatch per batch
+            key, k_step = jax.random.split(key)
             params, state, opt_state, metrics = trainer.train_step(
-                params, state, opt_state, images, jnp.asarray(labels),
-                k_step, jnp.asarray(step), mask)
-            if step % 10 == 0:
-                print(f"epoch {epoch} step {step} "
-                      f"loss {float(metrics['loss']):.4f} "
-                      f"top1 {float(metrics['top1']):.3f} "
-                      f"lr {float(metrics['lr']):.5f}")
+                params, state, opt_state, jnp.asarray(images),
+                jnp.asarray(labels), k_step, jnp.asarray(step), mask)
+            if pending is not None:
+                drain(pending)
+            pending = (step, metrics)
             step += 1
             if args.max_steps and step >= args.max_steps:
                 break
-        print(f"[epoch {epoch}] {time.time() - t0:.1f}s")
+        if pending is not None:
+            drain(pending)
+        dt = time.time() - t0
+        # epoch aggregates (train.py:347-355 wandb epoch block)
+        logger.log(step, {"train_loss_ep": losses.avg,
+                          "train_acc_ep": top1.avg,
+                          "train_acc_top5_ep": top5.avg,
+                          "epoch": epoch, "epoch_seconds": dt,
+                          "imgs_per_sec": losses.count
+                          * opts.batch_size / max(dt, 1e-9)})
 
         if val_data:
             for name, (carray, issame) in val_data.items():
