@@ -171,3 +171,82 @@ def test_lpips_vgg_parity(rng):
     got, _ = jm.apply(params, {}, (jnp.asarray(x), jnp.asarray(y)),
                       nn.Ctx())
     np.testing.assert_allclose(float(got), want, rtol=1e-3, atol=1e-5)
+
+
+def test_lpips_cli_conversion_roundtrip(tmp_path, rng):
+    """tools/convert_checkpoint.py lpips: richzhang-format lin .pth (raw
+    'lin0.model.1.weight' keys) + torchvision alexnet state_dict .pth ->
+    loadable npz whose params equal lpips_params_from_torch directly
+    (VERDICT r2 next #8 round-trip fixture)."""
+    import importlib.util
+    import os
+    import sys as _sys
+
+    torch.manual_seed(1)
+    tfeat = _torch_alexnet_features()
+    lin_w = [torch.rand(1, c, 1, 1) * 0.1 for c in (64, 192, 384, 256, 256)]
+    # raw richzhang key layout (before the reference's utils.py renames)
+    lin_path = tmp_path / "alex_lin.pth"
+    torch.save({f"lin{i}.model.1.weight": w for i, w in enumerate(lin_w)},
+               str(lin_path))
+    # torchvision full-model layout: features.* (+ a classifier key the
+    # filter must drop)
+    alex_sd = {f"features.{k}": v for k, v in
+               tfeat.state_dict().items()}
+    alex_sd["classifier.1.weight"] = torch.zeros(2, 2)
+    alex_path = tmp_path / "alexnet.pth"
+    torch.save(alex_sd, str(alex_path))
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "convert_checkpoint.py"))
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    out = tmp_path / "lpips.npz"
+    cc.convert_lpips(str(lin_path), str(alex_path), str(out))
+
+    from stylegan_for_facerec_tpu.utils.checkpoint import load_checkpoint
+    got = load_checkpoint(str(out))
+    feat_sd = {f"{i}.{p}": tfeat[int(i)].state_dict()[p]
+               for i in ("0", "3", "6", "8", "10")
+               for p in ("weight", "bias")}
+    lin_sd = {f"{i}.1.weight": w for i, w in enumerate(lin_w)}
+    want = lpips_params_from_torch(feat_sd, lin_sd)
+    got_leaves, got_def = jax.tree_util.tree_flatten(got)
+    want_leaves, want_def = jax.tree_util.tree_flatten(want)
+    assert got_def == want_def
+    for g, w in zip(got_leaves, want_leaves):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # and the converted file drives the jax LPIPS to reference values
+    jm = LPIPS()
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    y = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ref = _torch_lpips(tfeat.eval(), lin_w,
+                           torch.tensor(to_nchw(x)),
+                           torch.tensor(to_nchw(y)))
+    val, _ = jm.apply(got, {}, (jnp.asarray(x), jnp.asarray(y)), nn.Ctx())
+    np.testing.assert_allclose(float(val), ref, rtol=1e-3, atol=1e-5)
+
+
+def test_stage2_cli_refuses_random_lpips(tmp_path):
+    """tools/train_stage2.py must refuse lpips_lambda>0 with no weights
+    unless --allow_random_lpips (VERDICT r2 weak #5)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["SGFR_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "train_stage2.py"),
+         "--source_root", str(tmp_path), "--exp_dir",
+         str(tmp_path / "exp")],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "allow_random_lpips" in proc.stdout

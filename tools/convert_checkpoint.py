@@ -40,23 +40,56 @@ def build_model(kind: str, **kw):
     raise SystemExit(f"unknown model kind {kind!r}")
 
 
+def convert_lpips(src: str, alexnet: str, dst: str):
+    """Turn the richzhang lin weights (+ torchvision AlexNet features
+    state_dict) into the npz tree ``tools/train_stage2.py
+    --lpips_weights`` loads — the offline equivalent of the reference's
+    auto-download (``criteria/lpips/utils.py:11-30``)."""
+    from stylegan_for_facerec_tpu.losses.perceptual import (
+        lpips_params_from_torch)
+    from stylegan_for_facerec_tpu.utils import torch_convert as tc
+    from stylegan_for_facerec_tpu.utils.checkpoint import save_checkpoint
+
+    lin_sd = tc.load_torch_checkpoint(src)
+    lin_sd = {k.replace("lin", "").replace("model.", ""): v
+              for k, v in lin_sd.items()}  # utils.py:22-30 renames
+    alex_sd = tc.load_torch_checkpoint(alexnet)
+    alex_sd = alex_sd.get("state_dict", alex_sd)
+    feats = {k[len("features."):]: v for k, v in alex_sd.items()
+             if k.startswith("features.")} or alex_sd
+    params = lpips_params_from_torch(feats, lin_sd)
+    save_checkpoint(dst, params, metadata={"source": src})
+    print(f"converted LPIPS weights -> {dst}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("direction", choices=["to_jax", "to_torch"])
     ap.add_argument("--model", required=True,
-                    help="ir50|ir_se50|psp_facerec|psp|ada_generator")
+                    help="ir50|ir_se50|psp_facerec|psp|ada_generator|lpips")
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--output_size", type=int, default=128)
     ap.add_argument("--key_prefix", default="",
                     help="e.g. 'encoder' to slice a pSp bundle, 'G' for "
                          "ADA-lightning generator dumps")
+    ap.add_argument("--alexnet", default=None,
+                    help="torchvision alexnet state_dict .pth "
+                    "(lpips only)")
     ap.add_argument("--strict", action="store_true")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.utils import torch_convert as tc
     from stylegan_for_facerec_tpu.utils.checkpoint import (load_checkpoint,
                                                            save_checkpoint)
+
+    if args.model == "lpips":
+        if args.direction != "to_jax" or not args.alexnet:
+            raise SystemExit("lpips conversion: use to_jax with --src "
+                             "<richzhang lin .pth> --alexnet "
+                             "<torchvision alexnet .pth>")
+        convert_lpips(args.src, args.alexnet, args.dst)
+        return
 
     model, flatten_info = build_model(args.model,
                                       output_size=args.output_size)

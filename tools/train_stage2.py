@@ -43,6 +43,11 @@ def main():
                     "(coach_restyle_psp.py:192-214)")
     ap.add_argument("--val_interval", type=int, default=1000)
     ap.add_argument("--val_max_batches", type=int, default=20)
+    ap.add_argument("--allow_random_lpips", action="store_true",
+                    help="proceed with RANDOM-init LPIPS features when no "
+                    "--lpips_weights is given (debug only: with the "
+                    "README recipe lpips_lambda=0.8 that is 44%% of the "
+                    "loss weight on random features)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu import nn
@@ -57,9 +62,21 @@ def main():
         lp = LPIPS()
         if args.lpips_weights:
             lpp = load_checkpoint(args.lpips_weights)
-        else:
-            print("[warn] no --lpips_weights; using random-init LPIPS")
+        elif args.allow_random_lpips:
+            print("[warn] --allow_random_lpips: using RANDOM-init LPIPS "
+                  "features (debug only)")
             lpp, _ = lp.init(jax.random.key(99))
+        else:
+            # the reference cannot hit this state — it downloads the
+            # torchvision AlexNet + richzhang lin weights automatically
+            # (criteria/lpips/utils.py:11-30). Offline, silent random
+            # features would dominate the loss; refuse instead.
+            raise SystemExit(
+                "lpips_lambda > 0 but no --lpips_weights given. Convert "
+                "the torch weights once with tools/convert_checkpoint.py "
+                "lpips (losses.perceptual.lpips_params_from_torch), or "
+                "pass --lpips_lambda 0, or opt in to random features "
+                "with --allow_random_lpips (debug only).")
         lpips_fn = lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0]
 
     cfg = Stage2Config(output_size=args.output_size,
