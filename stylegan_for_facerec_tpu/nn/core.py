@@ -37,12 +37,17 @@ class Ctx:
     sequence is stable under jit.
     """
 
-    __slots__ = ("train", "_key", "_count")
+    __slots__ = ("train", "_key", "_count", "bn_groups")
 
-    def __init__(self, train: bool = False, rng: Optional[jax.Array] = None):
+    def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
+                 bn_groups: Optional[int] = None):
         self.train = bool(train)
         self._key = rng
         self._count = 0
+        # >1: BatchNorm layers normalize per contiguous batch group
+        # (ghost BN — the SPMD emulation of DataParallel per-replica BN);
+        # None/1: whole-batch statistics
+        self.bn_groups = bn_groups
 
     def make_rng(self) -> jax.Array:
         if self._key is None:

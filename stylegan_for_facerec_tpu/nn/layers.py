@@ -145,6 +145,8 @@ class BatchNorm(Layer):
         return p, s
 
     def apply(self, params, state, x, ctx):
+        if ctx.train and (ctx.bn_groups or 0) > 1:
+            return self._apply_ghost(params, state, x, ctx.bn_groups)
         reduce_axes = tuple(range(x.ndim - 1))
         if ctx.train:
             xf = x.astype(jnp.float32)
@@ -189,6 +191,49 @@ class BatchNorm(Layer):
             shift = shift * params["weight"] + params["bias"]
         y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
         return y, new_state
+
+    def _apply_ghost(self, params, state, x, groups: int):
+        """Ghost/per-replica batch norm: split the global batch into
+        ``groups`` contiguous shards and normalize each with its OWN
+        statistics — the SPMD emulation of the reference's DataParallel
+        BN, where each GPU normalizes its per-replica sub-batch
+        (``train.py:219-222``). With groups == the mesh 'data' axis size
+        and the batch sharded over it, the reshape aligns group-local
+        reductions with device-local data, so XLA inserts no collectives.
+
+        Running stats follow torch DataParallel faithfully: only replica
+        0's in-place buffer updates survive the scatter/gather (the
+        device-0 replica IS the master module), so group 0's statistics
+        feed the running EMA."""
+        b = x.shape[0]
+        assert b % groups == 0, (b, groups)
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape((groups, b // groups) + x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=axes)                       # (G, C)
+        var = jnp.mean(
+            jnp.square(xg - mean.reshape((groups,) + (1,) * len(axes)
+                                         + (-1,))), axis=axes)
+        var = jnp.maximum(var, 0.0)
+        n = (b // groups)
+        for a in axes[1:]:
+            n *= xg.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - self.momentum) * state["mean"]
+                    + self.momentum * mean[0],
+            "var": (1 - self.momentum) * state["var"]
+                   + self.momentum * unbiased[0],
+        }
+        inv = lax.rsqrt(var + self.eps)
+        scale = inv
+        shift = -mean * inv
+        if self.affine:
+            scale = scale * params["weight"]
+            shift = shift * params["weight"] + params["bias"]
+        bshape = (groups,) + (1,) * len(axes) + (-1,)
+        y = xg * scale.reshape(bshape) + shift.reshape(bshape)
+        return y.reshape(x.shape).astype(x.dtype), new_state
 
 
 BatchNorm2d = BatchNorm

@@ -51,6 +51,15 @@ class Stage3Config:
     warmup_batches: int = 0
     freeze_backbone_epochs: int = 3
     sync_bn: bool = False
+    # BN-under-SPMD semantics (SURVEY §7 hard-part 4, docs/PARITY.md):
+    #   sync_bn=True  -> whole-global-batch statistics (the natural pjit
+    #                    behavior: XLA all-reduces the batch moments).
+    #   sync_bn=False -> per-replica statistics like the reference's
+    #                    DataParallel BN (train.py:219-222), emulated with
+    #                    ghost BN over bn_groups groups; on a mesh the
+    #                    group count defaults to the 'data' axis size so
+    #                    group == device shard and no collectives appear.
+    bn_groups: Optional[int] = None  # explicit override (tests/single-dev)
     compute_dtype: str = "bfloat16"  # backbone compute dtype (repo
     # invariant: bf16 compute + f32 params). Params/optimizer/BN
     # statistics/margin+loss math stay float32 regardless — matching the
@@ -80,6 +89,12 @@ class Stage3Trainer:
         self.backbone = backbone
         self.cfg = cfg
         self.mesh = mesh
+        if cfg.bn_groups is not None:
+            self.bn_groups = cfg.bn_groups
+        elif mesh is not None and not cfg.sync_bn:
+            self.bn_groups = int(mesh.shape.get("data", 1))
+        else:
+            self.bn_groups = None
         self.schedule = optim.Stage3Schedule(
             base_lr=cfg.lr, warmup_batches=cfg.warmup_batches,
             steps_per_epoch=steps_per_epoch, stages=tuple(cfg.stages))
@@ -147,7 +162,7 @@ class Stage3Trainer:
         raise ValueError(cfg.head)
 
     def _loss_fn(self, params, state, images, labels, rng):
-        ctx = Ctx(train=True, rng=rng)
+        ctx = Ctx(train=True, rng=rng, bn_groups=self.bn_groups)
         if images.dtype == jnp.uint8:
             # packed-shard path (data/packed.py): uint8 ships host->device
             # 4x cheaper; x/127.5 - 1 == ToTensor + Normalize(0.5, 0.5)

@@ -137,11 +137,12 @@ def test_train_step_single_device(rng):
 
 def test_train_step_sharded_matches_single(rng, devices):
     """DP x TP sharded step computes the same loss/updates as single-device
-    (the collectives must be semantics-preserving)."""
+    (the collectives must be semantics-preserving). sync_bn=True pins
+    whole-batch BN statistics on both sides."""
     images = rng.randn(16, 32, 32, 3).astype(np.float32)
     labels = rng.randint(0, 64, 16)
 
-    t1 = make_trainer(mesh=None, freeze_backbone_epochs=0)
+    t1 = make_trainer(mesh=None, freeze_backbone_epochs=0, sync_bn=True)
     p1, s1, o1 = t1.init(jax.random.key(0))
     m1 = t1.freeze_mask(p1, frozen=False)
     p1n, _, _, met1 = t1.train_step(p1, s1, o1, jnp.asarray(images),
@@ -149,7 +150,7 @@ def test_train_step_sharded_matches_single(rng, devices):
                                     jnp.zeros((), jnp.int32), m1)
 
     mesh = make_mesh(data=4, model=2)
-    t2 = make_trainer(mesh=mesh, freeze_backbone_epochs=0)
+    t2 = make_trainer(mesh=mesh, freeze_backbone_epochs=0, sync_bn=True)
     with mesh:
         p2, s2, o2 = t2.init(jax.random.key(0))
         m2 = t2.freeze_mask(p2, frozen=False)
@@ -234,3 +235,91 @@ def test_frozen_body_params_receive_no_update(rng):
         np.testing.assert_array_equal(a, np.asarray(b))
     # unfrozen leaves (head) DO move
     assert not np.allclose(head_before, np.asarray(p2["head"]["weight"]))
+
+
+def test_ghost_bn_matches_torch_per_replica(rng):
+    """nn.BatchNorm with ctx.bn_groups=G must equal running torch
+    BatchNorm2d independently on each contiguous sub-batch (DataParallel
+    per-replica semantics, train.py:219-222), with the running stats
+    following replica 0 (the master module's buffers)."""
+    from stylegan_for_facerec_tpu.nn import layers
+    x = rng.randn(8, 5, 5, 6).astype(np.float32) * 2 + 1
+    bn = layers.BatchNorm(6)
+    params, state = bn.init(jax.random.key(0))
+    params = {"weight": jnp.asarray(rng.rand(6).astype(np.float32) + 0.5),
+              "bias": jnp.asarray(rng.randn(6).astype(np.float32))}
+    y, new_state = bn.apply(params, state, jnp.asarray(x),
+                            nn.Ctx(train=True, bn_groups=4))
+
+    tbn = torch.nn.BatchNorm2d(6)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor(np.asarray(params["weight"])))
+        tbn.bias.copy_(torch.tensor(np.asarray(params["bias"])))
+    outs, stats0 = [], None
+    for g in range(4):
+        if g > 0:
+            # fresh running buffers per replica; only replica 0 persists
+            tbn.running_mean.zero_()
+            tbn.running_var.fill_(1.0)
+        chunk = torch.tensor(np.transpose(x[2 * g:2 * g + 2], (0, 3, 1, 2)))
+        out = tbn(chunk)
+        if g == 0:
+            stats0 = (tbn.running_mean.clone(), tbn.running_var.clone())
+        outs.append(np.transpose(out.detach().numpy(), (0, 2, 3, 1)))
+    want = np.concatenate(outs, axis=0)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                               stats0[0].numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["var"]),
+                               stats0[1].numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_ghost_bn_sharded_matches_single(rng, devices):
+    """sync_bn=False on a mesh = ghost BN over the data axis; must equal
+    a single-device trainer with the same explicit bn_groups."""
+    images = rng.randn(16, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 64, 16)
+
+    t1 = make_trainer(mesh=None, freeze_backbone_epochs=0, bn_groups=4)
+    assert t1.bn_groups == 4
+    p1, s1, o1 = t1.init(jax.random.key(0))
+    m1 = t1.freeze_mask(p1, frozen=False)
+    p1n, s1n, _, met1 = t1.train_step(p1, s1, o1, jnp.asarray(images),
+                                      jnp.asarray(labels),
+                                      jax.random.key(1),
+                                      jnp.zeros((), jnp.int32), m1)
+
+    mesh = make_mesh(data=4, model=2)
+    t2 = make_trainer(mesh=mesh, freeze_backbone_epochs=0)  # sync_bn=False
+    assert t2.bn_groups == 4
+    with mesh:
+        p2, s2, o2 = t2.init(jax.random.key(0))
+        m2 = t2.freeze_mask(p2, frozen=False)
+        p2n, s2n, _, met2 = t2.train_step(p2, s2, o2, jnp.asarray(images),
+                                          jnp.asarray(labels),
+                                          jax.random.key(1),
+                                          jnp.zeros((), jnp.int32), m2)
+    np.testing.assert_allclose(float(met1["loss"]), float(met2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1n["head"]["weight"]),
+                               np.asarray(p2n["head"]["weight"]),
+                               rtol=2e-3, atol=2e-4)
+    # running BN stats (group-0 semantics) agree too
+    a = np.asarray(s1n["backbone"]["input_layer"]["1"]["mean"])
+    b = np.asarray(s2n["backbone"]["input_layer"]["1"]["mean"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ghost_bn_differs_from_global_bn(rng):
+    """Sanity: per-replica stats actually change the math (groups with
+    different sub-batch distributions normalize differently)."""
+    from stylegan_for_facerec_tpu.nn import layers
+    x = rng.randn(8, 4, 4, 3).astype(np.float32)
+    x[:4] += 3.0  # skew group 0
+    bn = layers.BatchNorm(3, affine=False)
+    _, state = bn.init(jax.random.key(0))
+    y_global, _ = bn.apply({}, state, jnp.asarray(x), nn.Ctx(train=True))
+    y_ghost, _ = bn.apply({}, state, jnp.asarray(x),
+                          nn.Ctx(train=True, bn_groups=2))
+    assert not np.allclose(np.asarray(y_global), np.asarray(y_ghost),
+                           atol=1e-3)
