@@ -11,9 +11,9 @@ that training recipe TPU-natively for the shipped generator:
     ``lazy_gradient_penalty_interval`` steps),
   * lazy path-length regularization on G (lambda_plp),
   * ADA: adaptive discriminator augmentation with the r_t = E[sign(D(x))]
-    controller toward ``ada_target`` (pipeline: xflip, 90-degree rotations,
-    integer translation, brightness/contrast — the blit + color subset,
-    batched jnp with per-image Bernoulli(p) gating),
+    controller toward ``ada_target`` (full stylegan2-ada menu — pixel
+    blitting, general geometric, color, frequency filtering, noise +
+    cutout — see ``train/ada_aug.py``; per-image Bernoulli(p) gating),
   * g_ema parameter averaging,
 
 all as jitted G/D alternating steps with explicit state (ada_p, pl_mean,
@@ -31,55 +31,10 @@ from ..models.stylegan2 import Discriminator
 from ..models.stylegan2_ada import Generator
 from ..nn import Ctx
 from ..utils.config import Stage1Config
-
-
-# ---------------------------------------------------------------------------
-# ADA augmentation pipeline (blit + color subset)
-# ---------------------------------------------------------------------------
-
-def ada_augment(key: jax.Array, x: jax.Array, p: jax.Array) -> jax.Array:
-    """Apply each augmentation with per-image probability p. NHWC."""
-    n = x.shape[0]
-    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
-
-    # x-flip
-    do = jax.random.bernoulli(k1, p, (n, 1, 1, 1))
-    x = jnp.where(do, x[:, :, ::-1, :], x)
-
-    # 90-degree rotations (k in 0..3)
-    do = jax.random.bernoulli(k2, p, (n,))
-    kk = jax.random.randint(k3, (n,), 0, 4)
-    kk = jnp.where(do, kk, 0)
-    rots = jnp.stack([x,
-                      jnp.rot90(x, 1, axes=(1, 2)),
-                      jnp.rot90(x, 2, axes=(1, 2)),
-                      jnp.rot90(x, 3, axes=(1, 2))])
-    x = rots[kk, jnp.arange(n)]
-
-    # integer translation up to 12.5% with zero padding
-    h, w = x.shape[1], x.shape[2]
-    max_t = max(1, int(0.125 * h))
-    do = jax.random.bernoulli(k4, p, (n,))
-    ty = jnp.where(do, jax.random.randint(k5, (n,), -max_t, max_t + 1), 0)
-    tx = jnp.where(do, jax.random.randint(k6, (n,), -max_t, max_t + 1), 0)
-
-    def translate(img, dy, dx):
-        return jax.lax.dynamic_slice(
-            jnp.pad(img, ((max_t, max_t), (max_t, max_t), (0, 0))),
-            (max_t + dy, max_t + dx, 0), img.shape)
-
-    x = jax.vmap(translate)(x, ty, tx)
-
-    # brightness / contrast
-    kb1, kb2, kc1, kc2 = jax.random.split(k7, 4)
-    do_b = jax.random.bernoulli(kb1, p, (n, 1, 1, 1))
-    b = jax.random.normal(kb2, (n, 1, 1, 1)) * 0.2
-    x = jnp.where(do_b, x + b.astype(x.dtype), x)
-    do_c = jax.random.bernoulli(kc1, p, (n, 1, 1, 1))
-    c = jnp.exp2(jax.random.normal(kc2, (n, 1, 1, 1)) * 0.5)
-    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    x = jnp.where(do_c, (x - mean) * c.astype(x.dtype) + mean, x)
-    return x
+from .ada_aug import (ada_augment, apply_ada,  # noqa: F401 — re-export;
+                      sample_ada_params)
+# the full stylegan2-ada menu (blit/geom/color/filter/corrupt) lives in
+# train/ada_aug.py
 
 
 class Stage1Trainer:
@@ -104,6 +59,31 @@ class Stage1Trainer:
                                    static_argnames=("do_r1",))
         self._jit_g_step = jax.jit(self._g_step,
                                    static_argnames=("do_plp",))
+
+    def _augment(self, key, x, p):
+        """ADA with mesh-aware execution: randomness is sampled as
+        batched tensors, then the deterministic per-image transform chain
+        runs inside ``shard_map`` over the data axis when a mesh is
+        present. The SPMD partitioner never analyzes the warp's
+        gather/scatter (which took minutes of compile), shards do zero
+        communication, and sharded output is BIT-IDENTICAL to the
+        single-device path (same sampled parameters either way)."""
+        prm = sample_ada_params(key, x.shape[0], x.shape[1], x.shape[2],
+                                x.shape[3], p)
+        n_data = (1 if self.mesh is None
+                  else int(self.mesh.shape.get("data", 1)))
+        if n_data <= 1 or x.shape[0] % n_data != 0:
+            return apply_ada(x, prm)
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map          # jax >= 0.8
+            kw = {"check_vma": False}
+        except ImportError:                    # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+            kw = {"check_rep": False}
+        return shard_map(apply_ada, mesh=self.mesh,
+                         in_specs=(P("data"), P("data")),
+                         out_specs=P("data"), **kw)(x, prm)
 
     def init(self, key):
         kg, kd = jax.random.split(key)
@@ -135,8 +115,8 @@ class Stage1Trainer:
         fakes, _ = self.G.apply(g_params, g_state, z, ctx,
                                 noise_mode="random")
         fakes = jax.lax.stop_gradient(fakes)
-        reals_aug = ada_augment(k2, reals, ada_p)
-        fakes_aug = ada_augment(k3, fakes, ada_p)
+        reals_aug = self._augment(k2, reals, ada_p)
+        fakes_aug = self._augment(k3, fakes, ada_p)
         d_real, _ = self.D.apply(d_params, {}, reals_aug, ctx)
         d_fake, _ = self.D.apply(d_params, {}, fakes_aug, ctx)
         loss = jnp.mean(jax.nn.softplus(d_fake)) \
@@ -181,7 +161,7 @@ class Stage1Trainer:
 
         fakes, new_gs = self.G.apply(g_params, g_state, z, ctx,
                                      noise_mode="random")
-        fakes_aug = ada_augment(k2, fakes, ada_p)
+        fakes_aug = self._augment(k2, fakes, ada_p)
         d_fake, _ = self.D.apply(d_params, {}, fakes_aug, ctx)
         loss = jnp.mean(jax.nn.softplus(-d_fake))
 

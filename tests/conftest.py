@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # import (backends initialize lazily, so this is still early enough).
 jax.config.update("jax_platforms", "cpu")
 
+# XLA:CPU compiles dominate suite wall-clock; persist them across runs.
+# Dedicated tests dir: /tmp/jax_cache may hold TPU-era AOT entries
+# compiled on another machine (SIGILL gotcha, CLAUDE.md).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
