@@ -20,12 +20,15 @@ def test_dryrun_multichip_via_driver_import_path():
     code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
     proc = subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=1200)
+        capture_output=True, text=True, timeout=3000)
     assert proc.returncode == 0, (
         f"driver-path dryrun failed rc={proc.returncode}\n"
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}")
     assert "dryrun_multichip(8): OK" in proc.stdout
-    assert "stage-2" in proc.stdout  # both trainers covered
+    # all four trainers covered (VERDICT r2 next #5)
+    assert "stage-2" in proc.stdout
+    assert "stage-1" in proc.stdout
+    assert "e4e" in proc.stdout
 
 
 def test_graft_entry_module_has_no_eager_jax_import():

@@ -1,0 +1,59 @@
+"""tools/verify_parity.py smoke (VERDICT r2 next #9): random-init torch
+IR-50 as the stand-in for the unreachable published checkpoints; the CLI
+must run both stacks end-to-end and report a sub-bar delta.
+
+Same-pair images are IDENTICAL (distance 0) and diff-pairs are random, so
+10-fold accuracy is a stable 1.0 in both stacks regardless of the random
+weights — the PASS verdict then only depends on the pipeline running, not
+on threshold luck."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import torch
+
+from reference_oracle import ref_import
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_verify_parity_cli_smoke(tmp_path):
+    m = ref_import("backbone.model_irse")
+    torch.manual_seed(3)
+    model = m.IR_50([112, 112])
+    ckpt_path = tmp_path / "ir50.pth"
+    torch.save(model.state_dict(), str(ckpt_path))
+
+    rng = np.random.RandomState(0)
+    n_pairs = 12
+    images = np.zeros((2 * n_pairs, 112, 112, 3), np.float32)
+    issame = np.zeros(n_pairs, bool)
+    for i in range(n_pairs):
+        a = rng.rand(112, 112, 3).astype(np.float32) * 2 - 1
+        if i % 2 == 0:
+            images[2 * i], images[2 * i + 1], issame[i] = a, a, True
+        else:
+            b = rng.rand(112, 112, 3).astype(np.float32) * 2 - 1
+            images[2 * i], images[2 * i + 1] = a, b
+    data = tmp_path / "data"
+    os.makedirs(data)
+    np.savez(str(data / "rfw_test.npz"), images=images, issame=issame)
+
+    env = dict(os.environ)
+    env["SGFR_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_parity.py"),
+         "--torch_checkpoint", str(ckpt_path),
+         "--backbone", "IR_50",
+         "--data_root", str(data),
+         "--benchmarks", "rfw_test",
+         "--batch_size", "8"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=900)
+    assert "rfw_test: torch" in proc.stdout, proc.stdout[-3000:]
+    assert "parity PASS" in proc.stdout, proc.stdout[-3000:]
+    assert proc.returncode == 0
