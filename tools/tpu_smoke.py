@@ -122,6 +122,16 @@ def main():
     results.append(("train_stage3", [py, "tools/train_stage3.py",
                                      "--config", cfg_path,
                                      "--max_steps", "3"]))
+    packed_dir = os.path.join(args.workdir, "packed")
+    results.append(("pack_train", [py, "tools/pack_train.py",
+                                   "--root", train_root,
+                                   "--out", packed_dir,
+                                   "--shard_size", "16",
+                                   "--num_workers", "2"]))
+    results.append(("train_stage3_packed", [py, "tools/train_stage3.py",
+                                            "--config", cfg_path,
+                                            "--packed_dir", packed_dir,
+                                            "--max_steps", "3"]))
     results.append(("test_rfw", [py, "tools/test_rfw.py",
                                  "--checkpoint",
                                  os.path.join(args.workdir, "ckpt",
