@@ -180,7 +180,41 @@ def _warm_up_device(max_attempts=4, delay_s=10.0):
     raise RuntimeError(f"device warm-up failed: {last}")
 
 
-def _bench_synthesis(extras):
+def _bench_synthesis(extras, budget_left=None):
+    """Primary metric, A/B'd over the PRNG implementation: every
+    synthesis layer draws a fresh noise field, and threefry generates it
+    with software integer hashing while 'rbg' uses the TPU hardware RNG
+    (the apples-to-apples analog of the reference's cuRAND
+    ``torch.randn``, ``stylegan2_ada/generator.py:196-199``). The winner
+    stays active for the downstream phases (inversion runs the same
+    synthesis stack). The second impl is skipped when the remaining
+    bench budget is thin — the A/B must never starve the downstream
+    extras of compile time."""
+    import jax
+
+    results = {}
+    for impl in ("threefry2x32", "rbg"):
+        if (impl != "threefry2x32" and results and budget_left is not None
+                and budget_left() < 1200):
+            _log(f"  synthesis[{impl}] skipped: budget "
+                 f"{budget_left():.0f}s left")
+            break
+        try:
+            jax.config.update("jax_default_prng_impl", impl)
+            results[impl] = _measure_synthesis(extras)
+        except Exception as e:  # noqa: BLE001 — impl unsupported: skip
+            _log(f"  synthesis[{impl}] failed: {e!r}")
+        extras[f"synthesis_{impl}_imgs_per_sec"] = round(
+            results.get(impl, 0.0), 1)
+    if not results:
+        raise RuntimeError("synthesis failed under every PRNG impl")
+    best = max(results, key=results.get)
+    jax.config.update("jax_default_prng_impl", best)
+    extras["synthesis_prng_impl"] = best
+    return results[best]
+
+
+def _measure_synthesis(extras, bs=128):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -191,7 +225,6 @@ def _bench_synthesis(extras):
     gp, gs = g.init(jax.random.key(0))
     gp = nn.cast_floats(gp, jnp.bfloat16)
     gs = nn.cast_floats(gs, jnp.bfloat16)
-    bs = 128
     key = jax.random.key(1)
 
     def synth_step(z, cs):
@@ -539,12 +572,15 @@ def main():
     extras["device"] = str(device)
     _log(f"device ready: {device}")
 
+    def budget_left():
+        return budget - (time.monotonic() - t_start)
+
     # primary metric (retried once in-process; parent retries whole child)
     synth_ips = None
     for _ in range(2):
         try:
             _log("phase: synthesis 256")
-            synth_ips = _bench_synthesis(extras)
+            synth_ips = _bench_synthesis(extras, budget_left)
             break
         except Exception as e:  # noqa: BLE001
             errors["synthesis"] = repr(e)[-300:]
@@ -552,8 +588,6 @@ def main():
 
     # extras are best-effort and budget-bounded: never lose the primary
     # JSON line to a failure or cold compile here
-    def budget_left():
-        return budget - (time.monotonic() - t_start)
 
     for name, fn in (
             ("embed", _bench_embed),

@@ -132,3 +132,62 @@ def test_data_pipeline_bench_runs():
     extras = {}
     bench._bench_data_pipeline(extras)
     assert extras["native_loader_imgs_per_sec"] > 0
+
+
+def test_synthesis_prng_ab_picks_winner_and_keeps_it_active(monkeypatch):
+    """_bench_synthesis A/Bs threefry vs the hardware RBG and must leave
+    the winning impl configured for the downstream phases."""
+    import jax
+
+    speeds = {"threefry2x32": 100.0, "rbg": 250.0}
+
+    def fake_measure(extras):
+        return speeds[jax.config.jax_default_prng_impl]
+
+    monkeypatch.setattr(bench, "_measure_synthesis", fake_measure)
+    extras = {}
+    out = bench._bench_synthesis(extras)
+    assert out == 250.0
+    assert extras["synthesis_prng_impl"] == "rbg"
+    assert extras["synthesis_threefry2x32_imgs_per_sec"] == 100.0
+    assert extras["synthesis_rbg_imgs_per_sec"] == 250.0
+    assert jax.config.jax_default_prng_impl == "rbg"
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_synthesis_prng_ab_survives_one_impl_failing(monkeypatch):
+    import jax
+
+    def fake_measure(extras):
+        if jax.config.jax_default_prng_impl == "rbg":
+            raise RuntimeError("unsupported on this backend")
+        return 42.0
+
+    monkeypatch.setattr(bench, "_measure_synthesis", fake_measure)
+    extras = {}
+    assert bench._bench_synthesis(extras) == 42.0
+    assert extras["synthesis_prng_impl"] == "threefry2x32"
+    assert extras["synthesis_rbg_imgs_per_sec"] == 0.0
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
+
+
+def test_synthesis_prng_ab_skips_second_impl_when_budget_thin(monkeypatch):
+    """With <1200s of bench budget left after the first measurement, the
+    A/B must settle for the proven impl instead of starving the
+    downstream phases of compile time."""
+    import jax
+
+    calls = []
+
+    def fake_measure(extras):
+        calls.append(jax.config.jax_default_prng_impl)
+        return 100.0
+
+    monkeypatch.setattr(bench, "_measure_synthesis", fake_measure)
+    extras = {}
+    out = bench._bench_synthesis(extras, budget_left=lambda: 600.0)
+    assert out == 100.0
+    assert calls == ["threefry2x32"]
+    assert extras["synthesis_prng_impl"] == "threefry2x32"
+    assert "synthesis_rbg_imgs_per_sec" not in extras
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
