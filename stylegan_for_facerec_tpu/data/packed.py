@@ -169,6 +169,7 @@ class PackedLoader:
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
         abandoned = threading.Event()
+        failure = []
 
         def producer():
             try:
@@ -185,6 +186,9 @@ class PackedLoader:
                             break
                         except queue_mod.Full:
                             continue
+            except Exception as e:  # noqa: BLE001 — re-raised on consumer
+                if not abandoned.is_set():
+                    failure.append(e)
             finally:
                 while not abandoned.is_set():
                     try:
@@ -199,6 +203,10 @@ class PackedLoader:
             while True:
                 item = q.get()
                 if item is stop:
+                    # a gather error must not read as a short epoch
+                    if failure:
+                        raise RuntimeError(
+                            "PackedLoader producer failed") from failure[0]
                     break
                 yield item
         finally:

@@ -123,6 +123,19 @@ def test_packed_loader_keeps_tail_when_not_dropping(tmp_path):
     assert sizes == [8, 8, 4]
 
 
+def test_packed_loader_propagates_gather_errors(tmp_path):
+    _write_packed(str(tmp_path / "p"), n=20, shard_size=16)
+    pds = PackedTrainDataset(str(tmp_path / "p"))
+
+    def bad_gather(idxs):
+        raise OSError("shard read failed")
+
+    pds.gather = bad_gather
+    loader = PackedLoader(pds, batch_size=8)
+    with pytest.raises(RuntimeError, match="PackedLoader producer failed"):
+        list(loader)
+
+
 def test_device_prefetch_passthrough(tmp_path):
     batches = [(np.full((2, 4, 4, 3), i, np.uint8),
                 np.asarray([i, i], np.int32)) for i in range(5)]
