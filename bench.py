@@ -425,6 +425,28 @@ def _bench_e2e_train(extras):
     bs = int(os.environ.get("BENCH_TRAIN_BATCH", "256"))
     steps = int(os.environ.get("BENCH_E2E_STEPS", "24"))
     num_classes = 28000
+    # raw host->device bandwidth for one uint8 batch: when e2e lands far
+    # below the step rate, this extra shows whether the gap is the input
+    # pipeline (the thing under test) or the dev tunnel's transfer rate
+    # (~tens of MB/s; a PCIe-attached production host ships GB/s)
+    bufs = [np.random.RandomState(i).randint(
+        0, 256, (bs, 128, 128, 3), dtype=np.uint8) for i in range(3)]
+    # block_until_ready does not sync through the axon tunnel; a scalar
+    # readback is the honest arrival barrier (CLAUDE.md timing gotcha)
+    _ = np.asarray(jnp.sum(jax.device_put(bufs[0])[0, 0, 0]))  # warm path
+    t0 = time.perf_counter()
+    for buf in bufs:
+        x = jax.device_put(buf)
+        _ = np.asarray(jnp.sum(x[0, 0, 0]))          # force arrival
+    dt_ship = time.perf_counter() - t0
+    mb = sum(b.nbytes for b in bufs) / 1e6
+    extras["host_to_device_MBps"] = round(mb / dt_ship, 1)
+    # the imgs/s ceiling that bandwidth imposes on ANY input pipeline
+    # shipping these batches; e2e ~= this bound means the pipeline
+    # saturates the link and the loader is not the limiting stage
+    mb_per_img = bufs[0].nbytes / bs / 1e6
+    extras["arcface_e2e_transfer_bound_imgs_per_sec"] = round(
+        (mb / dt_ship) / mb_per_img, 1)
     root = tempfile.mkdtemp(prefix="bench_packed_")
     try:
         import json as _json
