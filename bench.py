@@ -449,22 +449,15 @@ def _bench_e2e_train(extras):
         (mb / dt_ship) / mb_per_img, 1)
     root = tempfile.mkdtemp(prefix="bench_packed_")
     try:
-        import json as _json
+        from stylegan_for_facerec_tpu.data import write_packed
         rng_np = np.random.RandomState(7)
         n = bs * steps
-        shard_size = bs * 4
-        labels = rng_np.randint(0, num_classes, n).astype(np.int32)
-        for s in range(n // shard_size):
-            np.save(os.path.join(root, f"shard-{s:05d}.npy"),
-                    rng_np.randint(0, 256, (shard_size, 128, 128, 3),
-                                   dtype=np.uint8))
-        np.save(os.path.join(root, "labels.npy"), labels)
-        with open(os.path.join(root, "packed_meta.json"), "w") as f:
-            _json.dump({"image_size": 128, "n_images": n,
-                        "shard_size": shard_size,
-                        "n_shards": n // shard_size,
-                        "id_list": [str(i) for i in range(num_classes)]},
-                       f)
+        write_packed(root,
+                     rng_np.randint(0, 256, (n, 128, 128, 3),
+                                    dtype=np.uint8),
+                     rng_np.randint(0, num_classes, n).astype(np.int32),
+                     id_list=[str(i) for i in range(num_classes)],
+                     shard_size=bs * 4)
 
         ds = PackedTrainDataset(root)
         trainer = Stage3Trainer(

@@ -29,13 +29,88 @@ import json
 import os
 import queue as queue_mod
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 
 from .dataset import FacesDataset
 
 META_NAME = "packed_meta.json"
+
+
+def save_packed_meta(out_dir: str, image_size: int, n_images: int,
+                     shard_size: int, n_shards: int, id_list) -> dict:
+    meta = {"image_size": image_size, "n_images": n_images,
+            "shard_size": shard_size, "n_shards": n_shards,
+            "id_list": list(id_list)}
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def write_packed(out_dir: str, images: np.ndarray, labels: np.ndarray,
+                 id_list, shard_size: int = 8192) -> dict:
+    """Write in-memory uint8 NHWC ``images`` + int labels as a packed
+    directory (the single owner of the shard-%05d/labels.npy/meta layout
+    for array-at-once writers; the streaming path is ``pack_dataset``)."""
+    assert images.dtype == np.uint8 and images.ndim == 4
+    n = len(images)
+    assert len(labels) == n
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = -(-n // shard_size)
+    for i in range(n_shards):
+        np.save(os.path.join(out_dir, f"shard-{i:05d}.npy"),
+                images[i * shard_size: (i + 1) * shard_size])
+    np.save(os.path.join(out_dir, "labels.npy"),
+            np.asarray(labels, np.int32))
+    return save_packed_meta(out_dir, images.shape[1], n, shard_size,
+                            n_shards, id_list)
+
+
+def _pumped(make_items, maxsize: int, err_msg: str):
+    """Yield items produced by ``make_items()`` (an iterable factory) from
+    a daemon producer thread through a bounded queue. A producer exception
+    is re-raised on the consumer AFTER the queued items drain (an error
+    must never read as a short epoch); abandoning the consumer stops the
+    producer."""
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=maxsize)
+    stop = object()
+    abandoned = threading.Event()
+    failure = []
+
+    def producer():
+        try:
+            for item in make_items():
+                if abandoned.is_set():
+                    return
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
+        except Exception as e:  # noqa: BLE001 — re-raised on consumer
+            if not abandoned.is_set():
+                failure.append(e)
+        finally:
+            while not abandoned.is_set():
+                try:
+                    q.put(stop, timeout=0.5)
+                    return
+                except queue_mod.Full:
+                    continue
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if failure:
+                    raise RuntimeError(err_msg) from failure[0]
+                return
+            yield item
+    finally:
+        abandoned.set()
 
 
 def pack_dataset(dataset: FacesDataset, out_dir: str,
@@ -83,11 +158,8 @@ def pack_dataset(dataset: FacesDataset, out_dir: str,
     flush()
     assert written == n, f"packed {written} of {n} images"
     np.save(os.path.join(out_dir, "labels.npy"), labels_out)
-    meta = {"image_size": s, "n_images": n, "shard_size": shard_size,
-            "n_shards": shard_idx, "id_list": dataset.id_list}
-    with open(os.path.join(out_dir, META_NAME), "w") as f:
-        json.dump(meta, f)
-    return meta
+    return save_packed_meta(out_dir, s, n, shard_size, shard_idx,
+                            dataset.id_list)
 
 
 def is_packed_dir(path: str) -> bool:
@@ -166,51 +238,16 @@ class PackedLoader:
         if self.shuffle:
             rng.shuffle(order)
         nb = len(self)
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
-        stop = object()
-        abandoned = threading.Event()
-        failure = []
 
-        def producer():
-            try:
-                for b in range(nb):
-                    if abandoned.is_set():
-                        return
-                    idxs = order[b * self.batch_size:
-                                 (b + 1) * self.batch_size]
-                    item = (self.ds.gather(idxs),
-                            self.ds.labels[idxs].astype(np.int32))
-                    while not abandoned.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue_mod.Full:
-                            continue
-            except Exception as e:  # noqa: BLE001 — re-raised on consumer
-                if not abandoned.is_set():
-                    failure.append(e)
-            finally:
-                while not abandoned.is_set():
-                    try:
-                        q.put(stop, timeout=0.5)
-                        return
-                    except queue_mod.Full:
-                        continue
+        def batches():
+            for b in range(nb):
+                idxs = order[b * self.batch_size:
+                             (b + 1) * self.batch_size]
+                yield (self.ds.gather(idxs),
+                       self.ds.labels[idxs].astype(np.int32))
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    # a gather error must not read as a short epoch
-                    if failure:
-                        raise RuntimeError(
-                            "PackedLoader producer failed") from failure[0]
-                    break
-                yield item
-        finally:
-            abandoned.set()
+        yield from _pumped(batches, self.prefetch,
+                           "PackedLoader producer failed")
 
 
 def device_prefetch(iterator, sharding=None, depth: int = 2):
@@ -228,49 +265,12 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     else:
         shardings = (sharding, sharding)
 
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
-    stop = object()
-    abandoned = threading.Event()
-    failure = []
+    def shipped():
+        for images, labels in iterator:
+            if shardings is not None:
+                yield (jax.device_put(images, shardings[0]),
+                       jax.device_put(labels, shardings[1]))
+            else:
+                yield (jax.device_put(images), jax.device_put(labels))
 
-    def producer():
-        try:
-            for images, labels in iterator:
-                if abandoned.is_set():
-                    return
-                if shardings is not None:
-                    images = jax.device_put(images, shardings[0])
-                    labels = jax.device_put(labels, shardings[1])
-                else:
-                    images = jax.device_put(images)
-                    labels = jax.device_put(labels)
-                while not abandoned.is_set():
-                    try:
-                        q.put((images, labels), timeout=0.5)
-                        break
-                    except queue_mod.Full:
-                        continue
-        except Exception as e:
-            if not abandoned.is_set():
-                failure.append(e)
-        finally:
-            while not abandoned.is_set():
-                try:
-                    q.put(stop, timeout=0.5)
-                    return
-                except queue_mod.Full:
-                    continue
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is stop:
-                if failure:
-                    raise RuntimeError("prefetch producer failed") \
-                        from failure[0]
-                return
-            yield item
-    finally:
-        abandoned.set()
+    yield from _pumped(shipped, depth, "prefetch producer failed")

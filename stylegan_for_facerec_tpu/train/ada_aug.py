@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +153,9 @@ def apply_geom(x, prm):
 # color: one 4x4 homogeneous color matrix per image
 # ---------------------------------------------------------------------------
 
-_LUMA = jnp.asarray([1.0, 1.0, 1.0]) / jnp.sqrt(3.0)
+# host-side constant: a module-level jnp array would make importing the
+# train package the process's first device op (hangs if the tunnel wedges)
+_LUMA = np.asarray([1.0, 1.0, 1.0]) / np.sqrt(3.0)
 
 
 def sample_color(key, n: int, p):
@@ -214,7 +217,7 @@ def apply_color(x, prm):
 # image-space filtering: 4 dyadic bands
 # ---------------------------------------------------------------------------
 
-_K_BINOMIAL = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
+_K_BINOMIAL = np.asarray([1.0, 2.0, 1.0]) / 4.0
 
 
 def _sep_blur(x, k1d, times=1):

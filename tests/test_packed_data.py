@@ -34,19 +34,13 @@ def _write_image_tree(root, n_ids=4, per_id=6, size=40):
 
 def _write_packed(root, n=64, size=32, n_ids=8, shard_size=24, seed=0):
     """Synthesize a packed dir directly (no decode step)."""
+    from stylegan_for_facerec_tpu.data import write_packed
     rng = np.random.RandomState(seed)
-    os.makedirs(root, exist_ok=True)
     images = rng.randint(0, 256, (n, size, size, 3), dtype=np.uint8)
     labels = rng.randint(0, n_ids, n).astype(np.int32)
-    n_shards = -(-n // shard_size)
-    for s in range(n_shards):
-        np.save(os.path.join(root, f"shard-{s:05d}.npy"),
-                images[s * shard_size:(s + 1) * shard_size])
-    np.save(os.path.join(root, "labels.npy"), labels)
-    with open(os.path.join(root, "packed_meta.json"), "w") as f:
-        json.dump({"image_size": size, "n_images": n,
-                   "shard_size": shard_size, "n_shards": n_shards,
-                   "id_list": [f"id{i}" for i in range(n_ids)]}, f)
+    write_packed(root, images, labels,
+                 id_list=[f"id{i}" for i in range(n_ids)],
+                 shard_size=shard_size)
     return images, labels
 
 

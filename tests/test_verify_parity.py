@@ -19,15 +19,8 @@ from reference_oracle import ref_import
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
-def test_verify_parity_cli_smoke(tmp_path):
-    m = ref_import("backbone.model_irse")
-    torch.manual_seed(3)
-    model = m.IR_50([112, 112])
-    ckpt_path = tmp_path / "ir50.pth"
-    torch.save(model.state_dict(), str(ckpt_path))
-
-    rng = np.random.RandomState(0)
-    n_pairs = 12
+def _write_pairs(data_dir, n_pairs=12, seed=0):
+    rng = np.random.RandomState(seed)
     images = np.zeros((2 * n_pairs, 112, 112, 3), np.float32)
     issame = np.zeros(n_pairs, bool)
     for i in range(n_pairs):
@@ -37,23 +30,62 @@ def test_verify_parity_cli_smoke(tmp_path):
         else:
             b = rng.rand(112, 112, 3).astype(np.float32) * 2 - 1
             images[2 * i], images[2 * i + 1] = a, b
-    data = tmp_path / "data"
-    os.makedirs(data)
-    np.savez(str(data / "rfw_test.npz"), images=images, issame=issame)
+    os.makedirs(data_dir, exist_ok=True)
+    np.savez(os.path.join(data_dir, "rfw_test.npz"),
+             images=images, issame=issame)
 
+
+def _run_cli(ckpt_path, backbone, data_dir, extra=()):
     env = dict(os.environ)
     env["SGFR_PLATFORM"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
-    proc = subprocess.run(
+    return subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_parity.py"),
          "--torch_checkpoint", str(ckpt_path),
-         "--backbone", "IR_50",
-         "--data_root", str(data),
+         "--backbone", backbone,
+         "--data_root", str(data_dir),
          "--benchmarks", "rfw_test",
-         "--batch_size", "8"],
+         "--batch_size", "8", *extra],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True, timeout=900)
+
+
+def test_verify_parity_cli_smoke(tmp_path):
+    m = ref_import("backbone.model_irse")
+    torch.manual_seed(3)
+    model = m.IR_50([112, 112])
+    ckpt_path = tmp_path / "ir50.pth"
+    torch.save(model.state_dict(), str(ckpt_path))
+    data = tmp_path / "data"
+    _write_pairs(str(data))
+
+    proc = _run_cli(ckpt_path, "IR_50", data)
+    assert "rfw_test: torch" in proc.stdout, proc.stdout[-3000:]
+    assert "parity PASS" in proc.stdout, proc.stdout[-3000:]
+    assert proc.returncode == 0
+
+
+def test_verify_parity_cli_psp_branch(tmp_path):
+    """The pSp branch must construct the reference's 6-channel
+    avg-image-conditioned model (``test_RFW.py:87-90`` + strict full
+    state-dict load, ``:109/118``), install the same avg image on both
+    stacks, and run end-to-end."""
+    ref_psp = ref_import("backbone.restyle_psp")
+    torch.manual_seed(5)
+    model = ref_psp.pSp(size=112, encoder_type="BackboneEncoder")
+    ckpt_path = tmp_path / "psp.pth"
+    torch.save(model.state_dict(), str(ckpt_path))
+
+    avg_path = tmp_path / "avg_image.npy"
+    rng = np.random.RandomState(7)
+    np.save(str(avg_path),
+            (rng.rand(112, 112, 3) * 2 - 1).astype(np.float32))
+    data = tmp_path / "data"
+    _write_pairs(str(data))
+
+    proc = _run_cli(ckpt_path, "pSp", data,
+                    extra=("--avg_image", str(avg_path)))
     assert "rfw_test: torch" in proc.stdout, proc.stdout[-3000:]
     assert "parity PASS" in proc.stdout, proc.stdout[-3000:]
     assert proc.returncode == 0

@@ -50,10 +50,9 @@ def make_packed(root, n_ids, per_id, size=128, seed=0):
         np.save(os.path.join(root, f"shard-{s:05d}.npy"), imgs)
         idx += take
     np.save(os.path.join(root, "labels.npy"), labels)
-    with open(os.path.join(root, "packed_meta.json"), "w") as f:
-        json.dump({"image_size": size, "n_images": n,
-                   "shard_size": shard_size, "n_shards": n_shards,
-                   "id_list": [f"id{i}" for i in range(n_ids)]}, f)
+    from stylegan_for_facerec_tpu.data import save_packed_meta
+    save_packed_meta(root, size, n, shard_size, n_shards,
+                     [f"id{i}" for i in range(n_ids)])
     return n
 
 
@@ -134,6 +133,17 @@ def main():
             step += 1
             if step >= args.steps:
                 break
+    if pending is not None:          # drain the final step's metrics
+        st, m = pending
+        loss, t1 = float(m["loss"]), float(m["top1"])
+        losses.append(loss)
+        top1s.append(t1)
+        row = {"step": st, "loss": round(loss, 4), "top1": round(t1, 4),
+               "lr": round(float(m["lr"]), 5),
+               "elapsed_s": round(time.time() - t_start, 1)}
+        logf.write(json.dumps(row) + "\n")
+        logf.flush()
+        print(row, flush=True)
     dt = time.time() - t_start
     early = float(np.mean(losses[:50]))
     late = float(np.mean(losses[-50:]))

@@ -77,10 +77,32 @@ def torch_embeddings(model, images: np.ndarray, batch_size: int,
     return out
 
 
+def load_avg_image(path, size: int) -> np.ndarray:
+    """(H, W, C) float32 in [-1, 1]. ``path`` may be an .npy dump (the
+    stage-2 coach export) or an image file (the reference's
+    ``avg_image`` PNG, ``restyle_psp.py:381-389``); None means zeros —
+    the avg-image concat still happens (the encoder input layer is
+    hardcoded 6-channel, ``restyle_psp.py:137``), mirrored on both
+    stacks so the comparison stays valid without the artifact."""
+    if path is None:
+        return np.zeros((size, size, 3), np.float32)
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+        if arr.max() > 1.5:          # stored as uint8-range
+            arr = arr / 127.5 - 1.0
+    else:
+        from PIL import Image
+        arr = np.asarray(Image.open(path).convert("RGB"),
+                         np.float32) / 127.5 - 1.0
+    assert arr.shape == (size, size, 3), arr.shape
+    return arr
+
+
 def build_reference_model(backbone: str, checkpoint: str,
-                          reference_root: str, emb_size: int):
+                          reference_root: str, emb_size: int,
+                          avg_image: np.ndarray = None):
     """Construct the reference's own torch module and load the user
-    checkpoint (``test_RFW.py:49-121`` model construction paths)."""
+    checkpoint (``test_RFW.py:80-121`` model construction paths)."""
     import torch
     if reference_root not in sys.path:
         sys.path.insert(0, reference_root)
@@ -96,10 +118,16 @@ def build_reference_model(backbone: str, checkpoint: str,
     sd = ckpt.get("state_dict", ckpt)
     if backbone == "pSp":
         from backbone.restyle_psp import pSp
+        # avg_image=None here: the reference ctor imreads a file onto
+        # cuda:0 (restyle_psp.py:384-389); we install the tensor
+        # ourselves so the tool runs on CPU hosts
         model = pSp(size=112, encoder_type="BackboneEncoder")
-        enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
-                  if k.startswith("encoder.")} or sd
-        model.encoder.load_state_dict(enc_sd, strict=False)
+        # the full-checkpoint strict load of test_RFW.py:109/118 (the
+        # stage-3-trained path); ctor-time load_weights only handles
+        # stage-2 restyle checkpoints without the facerec output layer
+        model.load_state_dict(sd)
+        model.avg_image = torch.tensor(
+            avg_image.transpose(2, 0, 1)).float()
     else:
         import backbone.model_irse as m
         # the reference targets torch 1.6; its Flatten uses .view, which
@@ -112,7 +140,9 @@ def build_reference_model(backbone: str, checkpoint: str,
     return model
 
 
-def jax_accuracy(backbone_name, sd, carray, issame, emb_size, batch_size):
+def jax_accuracy(backbone_name, sd, carray, issame, emb_size, batch_size,
+                 avg_image: np.ndarray = None):
+    import jax.numpy as jnp
     from stylegan_for_facerec_tpu.eval import perform_val
     from stylegan_for_facerec_tpu.models import irse, psp
     from stylegan_for_facerec_tpu.utils import torch_convert as tc
@@ -122,9 +152,13 @@ def jax_accuracy(backbone_name, sd, carray, issame, emb_size, batch_size):
         enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
                   if k.startswith("encoder.")} or sd
         enc_def = model._children()["encoder"]
-        p_enc, s_enc = tc.from_torch(enc_def, enc_sd, strict=False)
+        sp = enc_def._end_spatial
+        p_enc, s_enc = tc.from_torch(
+            enc_def, enc_sd,
+            flatten_info={"output_layer.3": (sp, sp, 512)})
         params, state = model.init(jax.random.key(0))
         params["encoder"], state["encoder"] = p_enc, s_enc
+        state["avg_image"] = jnp.asarray(avg_image)
     else:
         model = getattr(irse, backbone_name)(112, emb_size=emb_size)
         params, state = tc.from_torch(
@@ -146,6 +180,10 @@ def main():
                     default=["rfw_African", "rfw_Asian", "rfw_Caucasian",
                              "rfw_Indian"])
     ap.add_argument("--reference_root", default="/root/reference")
+    ap.add_argument("--avg_image", default=None,
+                    help="pSp only: avg-image file (.npy from the stage-2 "
+                    "coach export, or the reference's PNG); zeros when "
+                    "omitted, installed identically on both stacks")
     ap.add_argument("--emb_size", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--tolerance", type=float, default=0.001,
@@ -156,8 +194,12 @@ def main():
     from stylegan_for_facerec_tpu.eval import load_val_pair
     from stylegan_for_facerec_tpu.eval.verification import evaluate
 
+    avg = None
+    if args.backbone == "pSp":
+        avg = load_avg_image(args.avg_image, 112)
     model = build_reference_model(args.backbone, args.torch_checkpoint,
-                                  args.reference_root, args.emb_size)
+                                  args.reference_root, args.emb_size,
+                                  avg_image=avg)
     ckpt = torch.load(args.torch_checkpoint, map_location="cpu",
                       weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
@@ -171,7 +213,8 @@ def main():
         _, _, acc_folds, _ = evaluate(emb_t, np.asarray(issame), 10)
         acc_t = float(np.mean(acc_folds))
         acc_j = float(jax_accuracy(args.backbone, sd, carray, issame,
-                                   args.emb_size, args.batch_size))
+                                   args.emb_size, args.batch_size,
+                                   avg_image=avg))
         delta = abs(acc_t - acc_j)
         worst = max(worst, delta)
         rows.append((bench, acc_t, acc_j, delta))
