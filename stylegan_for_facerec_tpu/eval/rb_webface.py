@@ -43,29 +43,42 @@ def fnmr_counts(pos_emb: np.ndarray, thresholds: np.ndarray,
     return counts, pair_sims.size
 
 
+@jax.jit
+def _fmr_count_chunk(rows, emb, thr, row_start, n_real):
+    """One (chunk, M) tile of the impostor-pair sweep. ``emb``/``thr`` are
+    jit ARGUMENTS, not closure constants: a real negative list is
+    100+ MB, and closing over it would embed it as a literal the
+    remote-compile helper rejects (CLAUDE.md; bench consts= pattern).
+    Rows/cols at index >= n_real are zero padding, excluded by the
+    mask."""
+    sims = rows @ emb.T                                # (chunk, M)
+    c = rows.shape[0]
+    col = jnp.arange(emb.shape[0])[None, :]
+    row = row_start + jnp.arange(c)[:, None]
+    mask = (col > row) & (col < n_real)
+    over = sims[None, :, :] > thr[:, None, None]
+    return jnp.sum(over & mask[None], axis=(1, 2)), jnp.sum(mask)
+
+
 def fmr_counts(neg_emb: np.ndarray, thresholds: np.ndarray,
                chunk: int = 2048) -> Tuple[np.ndarray, int]:
     """Counts of impostor-pair similarities above each threshold over all
-    i<j pairs, chunked on device."""
+    i<j pairs, chunked on device. Embeddings are padded to a multiple of
+    ``chunk`` so every tile (including the tail) reuses one compiled
+    kernel."""
     n = neg_emb.shape[0]
     thr = jnp.asarray(thresholds, jnp.float32)
-    emb = jnp.asarray(neg_emb, jnp.float32)
-
-    @jax.jit
-    def count_chunk(rows, row_start):
-        sims = rows @ emb.T                            # (c, N)
-        c = rows.shape[0]
-        col = jnp.arange(n)[None, :]
-        row = row_start + jnp.arange(c)[:, None]
-        mask = col > row
-        over = sims[None, :, :] > thr[:, None, None]
-        return jnp.sum(over & mask[None], axis=(1, 2)), jnp.sum(mask)
+    m = -(-n // chunk) * chunk
+    emb_np = np.zeros((m, neg_emb.shape[1]), np.float32)
+    emb_np[:n] = neg_emb
+    emb = jnp.asarray(emb_np)
 
     counts = np.zeros(len(thresholds), np.int64)
     pairs = 0
     for i in range(0, n, chunk):
-        rows = emb[i: i + chunk]
-        c_cnt, c_pairs = count_chunk(rows, jnp.asarray(i))
+        rows = jax.lax.dynamic_slice_in_dim(emb, i, chunk, axis=0)
+        c_cnt, c_pairs = _fmr_count_chunk(rows, emb, thr, jnp.asarray(i),
+                                          jnp.asarray(n))
         counts += np.asarray(c_cnt, np.int64)
         pairs += int(c_pairs)
     return counts, pairs

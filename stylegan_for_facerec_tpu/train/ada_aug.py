@@ -51,11 +51,15 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def sample_blit(key, n: int, h: int, p):
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     max_t = max(1, int(0.125 * h))
     do_t = jax.random.bernoulli(k4, p, (n,))
     return {
-        "flip": jax.random.bernoulli(k1, p, (n,)),
+        # xflip draws i in {0,1} uniformly and applies it at rate p
+        # (stylegan2-ada policy: identity is a valid draw), so the
+        # effective flip rate is p/2 — same shape as rot90's k=0 draw
+        "flip": jax.random.bernoulli(k1, p, (n,))
+        & jax.random.bernoulli(k7, 0.5, (n,)),
         "rotk": jnp.where(jax.random.bernoulli(k2, p, (n,)),
                           jax.random.randint(k3, (n,), 0, 4), 0),
         "ty": jnp.where(do_t, jax.random.randint(

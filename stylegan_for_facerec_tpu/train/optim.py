@@ -74,7 +74,10 @@ class Stage3Schedule:
     """lr(step): linear warmup over ``warmup_batches`` then /1.5 at each
     stage boundary (epoch indices in ``stages``), mirroring
     ``train.py:254-296``: warmup is per-batch during the first
-    NUM_EPOCH_WARM_UP epochs; decay fires when epoch+1 hits a stage."""
+    NUM_EPOCH_WARM_UP epochs; the /1.5 decay applies from the first step
+    of stage epoch ``s`` onward (``train.py:256`` runs ``schedule_lr`` at
+    the top of the epoch, so ``epoch >= s`` is the reference
+    semantics)."""
 
     base_lr: float = 0.03
     warmup_batches: int = 0

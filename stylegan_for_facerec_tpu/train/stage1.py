@@ -22,6 +22,7 @@ ema params).
 
 from __future__ import annotations
 
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

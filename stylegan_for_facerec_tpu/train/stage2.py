@@ -60,6 +60,11 @@ class Stage2Config:
     optim_name: str = "ranger"
     train_decoder: bool = False
     target_size: int = 112           # transforms_config: gt resized to 112
+    compute_dtype: str = "bfloat16"  # encoder+generator compute dtype
+    # (repo invariant: bf16 compute + f32 params/optimizer/BN-stats;
+    # losses are computed in f32. f32 activations of the 256-generator
+    # backward OOM a v5e at bs=128; bf16 runs it at 148 ms/step /
+    # 867 imgs/s on-device — see VERIFIED.md stage-2 throughput entry)
 
 
 class Stage2Coach:
@@ -131,7 +136,9 @@ class Stage2Coach:
 
     # -- losses ------------------------------------------------------------
 
-    def _calc_loss(self, y_hat, y, x, latent, latent_avg):
+    def _calc_loss(self, y_hat, y, x, latent, latent_avg, d_params=None):
+        """``d_params`` is accepted (and unused) so subclasses adding
+        discriminator terms (E4eCoach) can share ``_refinement_losses``."""
         cfg = self.cfg
         loss = jnp.zeros((), jnp.float32)
         logs = {}
@@ -158,16 +165,25 @@ class Stage2Coach:
     # -- refinement loop ---------------------------------------------------
 
     def _refinement_losses(self, trainable, params, state, x, y, avg_image,
-                           rng, train: bool = True):
+                           rng, d_params=None, train: bool = True):
         """coach:138-166: unrolled n_iters_per_batch; returns summed loss
         (== accumulated per-iter backward) and last-iter outputs. The
         model state (encoder BN running stats) threads through the
         iterations and is returned — the reference trains with
         ``net.train()`` so each forward updates the running stats
         (coach_restyle_psp.py:137); validation passes ``train=False``
-        (``net.eval()``, coach:182-214)."""
+        (``net.eval()``, coach:182-214).
+
+        The encoder+generator run in ``cfg.compute_dtype`` (params cast
+        inside the grad scope, so gradients/updates stay f32); each
+        iteration's outputs are cast back to f32 for the losses."""
         cfg = self.cfg
         params = self._merge(params, trainable)
+        if cfg.compute_dtype == "bfloat16":
+            from ..nn import cast_floats
+            params = cast_floats(params, jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+            avg_image = avg_image.astype(jnp.bfloat16)
         ctx = Ctx(train=train, rng=rng)
         latent_avg = state["latent_avg"]
 
@@ -180,21 +196,26 @@ class Stage2Coach:
             if it == 0:
                 cond = jnp.broadcast_to(avg_image[None], x.shape)
             else:
-                cond = jax.lax.stop_gradient(y_hat)
+                cond = jax.lax.stop_gradient(y_hat).astype(x.dtype)
             x_input = jnp.concatenate([x, cond], axis=-1)
             carry = (None if latent is None
                      else jax.lax.stop_gradient(latent))
             (out, latent), cur_state = self.model.apply(
                 params, cur_state, (x_input, carry), ctx, resize=True,
                 randomize_noise=True, return_latents=True)
-            y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
-            loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg)
+            y_hat = resize_bilinear(out, cfg.target_size,
+                                    cfg.target_size).astype(jnp.float32)
+            loss, logs = self._calc_loss(y_hat, y, x,
+                                         latent.astype(jnp.float32),
+                                         latent_avg, d_params)
             total = total + loss
-        return total, (y_hat, latent, logs, cur_state)
+        return total, (y_hat, latent.astype(jnp.float32), logs, cur_state)
 
-    def _val_losses(self, trainable, params, state, x, y, avg_image, rng):
+    def _val_losses(self, trainable, params, state, x, y, avg_image, rng,
+                    d_params=None):
         return self._refinement_losses(trainable, params, state, x, y,
-                                       avg_image, rng, train=False)
+                                       avg_image, rng, d_params,
+                                       train=False)
 
     def _train_step(self, trainable, params, state, opt_state, x, y,
                     avg_image, rng):

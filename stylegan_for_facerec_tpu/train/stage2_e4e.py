@@ -48,10 +48,14 @@ class E4eCoach(Stage2Coach):
                          input_nc=cfg.input_nc)
         self.discriminator = LatentCodesDiscriminator(512, 4)
         self.tx_d = optax.adam(cfg.w_discriminator_lr, b1=0.9, b2=0.999)
-        self.pool = LatentCodesPool(cfg.w_pool_size)
+        # separate replay buffers for real and fake w's
+        # (coach_restyle_e4e.py:84-86 real_w_pool / fake_w_pool)
+        self.real_pool = LatentCodesPool(cfg.w_pool_size)
+        self.fake_pool = LatentCodesPool(cfg.w_pool_size, seed=1)
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_val_losses = jax.jit(self._val_losses)
         self._jit_d_step = jax.jit(self._d_step, static_argnames=("do_r1",))
+        self._jit_fake_w = jax.jit(self._fake_w)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -70,6 +74,16 @@ class E4eCoach(Stage2Coach):
         self.model = self.model.set_stage(stage)
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_val_losses = jax.jit(self._val_losses)
+        self._jit_fake_w = jax.jit(self._fake_w)
+
+    def _dims_to_discriminate(self, n_latent: int) -> int:
+        """Number of leading w rows the discriminator sees
+        (coach_restyle_e4e.py:473-475: deltas_starting_dimensions
+        [:stage+1], which for the progressive encoder is range(n), i.e.
+        rows 0..stage; all rows when not progressive)."""
+        if self.cfg.progressive_steps:
+            return min(self.model.stage + 1, n_latent)
+        return n_latent
 
     # -- encoder-side extra losses ----------------------------------------
 
@@ -78,9 +92,11 @@ class E4eCoach(Stage2Coach):
         loss, logs = super()._calc_loss(y_hat, y, x, latent, latent_avg)
         cfg = self.cfg
         if cfg.w_discriminator_lambda > 0 and d_params is not None:
-            # discriminate every latent dim (inference-stage behavior)
-            n = latent.shape[1]
-            w_flat = latent.reshape(-1, latent.shape[-1])
+            # only the dims active at the current progressive stage are
+            # discriminated (coach_restyle_e4e.py:380-387); the mean over
+            # dims of per-dim softplus means == one flattened mean
+            nd = self._dims_to_discriminate(latent.shape[1])
+            w_flat = latent[:, :nd, :].reshape(-1, latent.shape[-1])
             pred, _ = self.discriminator.apply(d_params, {}, w_flat,
                                                Ctx(train=True))
             loss_disc = jnp.mean(jax.nn.softplus(-pred))
@@ -105,41 +121,10 @@ class E4eCoach(Stage2Coach):
         logs["loss"] = loss
         return loss, logs
 
-    def _refinement_losses(self, trainable, params, state, x, y, avg_image,
-                           rng, d_params=None, train: bool = True):
-        cfg = self.cfg
-        merged = self._merge(params, trainable)
-        ctx = Ctx(train=train, rng=rng)
-        latent_avg = state["latent_avg"]
-        y_hat = None
-        latent = None
-        cur_state = state
-        total = jnp.zeros((), jnp.float32)
-        logs = {}
-        from ..ops.image import resize_bilinear
-        for it in range(cfg.n_iters_per_batch):
-            cond = jnp.broadcast_to(avg_image[None], x.shape) if it == 0 \
-                else jax.lax.stop_gradient(y_hat)
-            x_input = jnp.concatenate([x, cond], axis=-1)
-            carry = None if latent is None \
-                else jax.lax.stop_gradient(latent)
-            (out, latent), cur_state = self.model.apply(
-                merged, cur_state, (x_input, carry), ctx, resize=True,
-                randomize_noise=True, return_latents=True)
-            y_hat = resize_bilinear(out, cfg.target_size, cfg.target_size)
-            loss, logs = self._calc_loss(y_hat, y, x, latent, latent_avg,
-                                         d_params)
-            total = total + loss
-        return total, (y_hat, latent, logs, cur_state)
-
-    def _val_losses(self, trainable, params, state, x, y, avg_image, rng,
-                    d_params=None):
-        # reference e4e validate() runs net.eval() but still composes the
-        # FULL loss incl. the adversarial encoder term when the latent
-        # discriminator trains (coach_restyle_e4e.py:260-278,341-349)
-        return self._refinement_losses(trainable, params, state, x, y,
-                                       avg_image, rng, d_params,
-                                       train=False)
+    # _refinement_losses / _val_losses are inherited from Stage2Coach
+    # (they thread d_params into _calc_loss; the reference e4e validate()
+    # runs net.eval() but still composes the FULL loss incl. the
+    # adversarial encoder term, coach_restyle_e4e.py:260-278,341-349)
 
     def _train_step(self, trainable, params, state, opt_state, x, y,
                     avg_image, rng, d_params):
@@ -208,15 +193,35 @@ class E4eCoach(Stage2Coach):
                                        updates)
         return new_d, new_opt, loss
 
-    def train_discriminator(self, params, state, d_params, d_opt, latent,
-                            key, step: int):
-        """One D update; fake w's routed through the replay pool
-        (coach_restyle_e4e.py:511-543)."""
+    def _fake_w(self, params, state, x, avg_image):
+        """RAW encoder codes for the D update: one pass on the
+        iteration-0 conditioning, WITHOUT the latent_avg offset or the
+        refinement carry (coach_restyle_e4e.py:558 ``encoder(x)`` on the
+        ``x_input`` of :134; train-mode stats under no_grad)."""
+        x_input = jnp.concatenate(
+            [x, jnp.broadcast_to(avg_image[None], x.shape)], axis=-1)
+        enc = self.model._children()["encoder"]
+        codes, _ = enc.apply(params["encoder"], state["encoder"], x_input,
+                             Ctx(train=True))
+        return jax.lax.stop_gradient(codes)
+
+    def train_discriminator(self, params, state, d_params, d_opt, x,
+                            avg_image, key, step: int):
+        """One D update (coach_restyle_e4e.py:511-543 +
+        sample_real_and_fake_latents :556-567): real w's from the frozen
+        mapping network, fake w's from a raw encoder pass; progressive
+        training restricts fake w's to the active dims; both sides go
+        through their replay pools, then a 3-D fake picks its first w."""
         import numpy as np
-        real_w = self.sample_real_w(params, state, key, latent.shape[0])
-        fake_np = self.pool.query(np.asarray(
-            jax.lax.stop_gradient(latent)))
-        fake_w = jnp.asarray(fake_np)
+        real_w = self.sample_real_w(params, state, key, x.shape[0])
+        fake_raw = self._jit_fake_w(params, state, x, avg_image)
+        if self.cfg.progressive_steps:
+            fake_raw = fake_raw[
+                :, :self._dims_to_discriminate(fake_raw.shape[1]), :]
+        real_w = jnp.asarray(self.real_pool.query(np.asarray(real_w)))
+        fake_w = jnp.asarray(self.fake_pool.query(np.asarray(fake_raw)))
+        if fake_w.ndim == 3:     # pool disabled (w_pool_size=0)
+            fake_w = fake_w[:, 0, :]
         real_w, fake_w = self._shard_batch(real_w, fake_w)
         do_r1 = (step % self.cfg.d_reg_every) == 0
         return self._jit_d_step(d_params, d_opt, real_w, fake_w,

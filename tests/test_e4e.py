@@ -137,7 +137,7 @@ def test_e4e_coach_step(rng):
     assert "encoder_discriminator_loss" in logs
     assert "total_delta_loss" in logs
     d_params2, d_opt2, d_loss = coach.train_discriminator(
-        params, state, d_params, d_opt, latent, jax.random.key(4), step=0)
+        params, state, d_params, d_opt, x, avg, jax.random.key(4), step=0)
     assert np.isfinite(float(d_loss))
     l0 = jax.tree_util.tree_leaves(d_params)[0]
     l1 = jax.tree_util.tree_leaves(d_params2)[0]
@@ -153,7 +153,8 @@ def test_e4e_coach_sharded_matches_single(rng):
 
     cfg = E4eConfig(output_size=32, n_iters_per_batch=1, lpips_lambda=0.0,
                     target_size=32, w_discriminator_lambda=0.1,
-                    progressive_steps=(0, 100), delta_norm_lambda=2e-4)
+                    progressive_steps=(0, 100), delta_norm_lambda=2e-4,
+                    compute_dtype="float32")   # tight-tolerance comparison
     coach = E4eCoach(cfg)
     params, state, opt_state, d_params, d_opt = coach.init(
         jax.random.key(0))
@@ -165,18 +166,21 @@ def test_e4e_coach_sharded_matches_single(rng):
     p1, _, o1, loss1, logs1, yh1, lat1 = coach.train_step(
         params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
     d1, do1, dl1 = coach.train_discriminator(
-        params, state, d_params, d_opt, lat1, jax.random.key(4), step=0)
+        params, state, d_params, d_opt, x, avg, jax.random.key(4), step=0)
 
     mesh = make_mesh(data=4, model=2)
     mcoach = E4eCoach(cfg, mesh=mesh)
-    mcoach.pool = type(mcoach.pool)(mcoach.cfg.w_pool_size)  # fresh pool
+    # fresh pools so both coaches see identical replay-buffer state
+    mcoach.real_pool = type(mcoach.real_pool)(mcoach.cfg.w_pool_size)
+    mcoach.fake_pool = type(mcoach.fake_pool)(mcoach.cfg.w_pool_size,
+                                              seed=1)
     with mesh:
         mp, ms, mo = (jax.device_put(t) for t in (params, state, opt_state))
         md, mdo = jax.device_put(d_params), jax.device_put(d_opt)
         p2, _, o2, loss2, logs2, yh2, lat2 = mcoach.train_step(
             mp, ms, mo, x, x, avg, jax.random.key(3), md)
         d2, do2, dl2 = mcoach.train_discriminator(
-            mp, ms, md, mdo, lat2, jax.random.key(4), step=0)
+            mp, ms, md, mdo, x, avg, jax.random.key(4), step=0)
 
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5,
                                atol=1e-5)
@@ -219,3 +223,45 @@ def test_e4e_progressive_stage0_no_nan(rng):
     _, _, _, _, logs0, _, _ = coach.train_step(
         params, state, opt_state, x, x, avg, jax.random.key(9), d_params)
     assert float(logs0["total_delta_loss"]) == 0.0
+
+
+def test_e4e_fake_w_semantics(rng):
+    """D-side fake w's must be RAW encoder codes — no latent_avg offset,
+    no refinement carry (coach_restyle_e4e.py:558 encoder(x)); progressive
+    mode restricts to the active dims; with the pool disabled the 3-D
+    fake squeezes to its first w (:565-566)."""
+    from stylegan_for_facerec_tpu.train.stage2_e4e import E4eCoach, E4eConfig
+    cfg = E4eConfig(output_size=32, n_iters_per_batch=1, lpips_lambda=0.0,
+                    target_size=32, w_discriminator_lambda=0.1,
+                    progressive_steps=(0, 100), w_pool_size=0)
+    coach = E4eCoach(cfg)
+    coach.set_stage(1)
+    params, state, opt_state, d_params, d_opt = coach.init(
+        jax.random.key(0))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                      n_latent=32)
+    # make the offset visible: a nonzero latent_avg
+    state["latent_avg"] = state["latent_avg"] + 0.37
+    avg = coach.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    fake = coach._jit_fake_w(params, state, x, avg)
+    assert fake.ndim == 3
+
+    # raw codes == direct encoder pass on the iteration-0 conditioning
+    x_input = jnp.concatenate(
+        [x, jnp.broadcast_to(avg[None], x.shape)], axis=-1)
+    codes, _ = coach.model._children()["encoder"].apply(
+        params["encoder"], state["encoder"], x_input, nn.Ctx(train=True))
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(codes),
+                               rtol=1e-6, atol=1e-6)
+
+    # ...and differs from the refined latent by (at least) the latent_avg
+    _, _, _, _, _, _, latent = coach.train_step(
+        params, state, opt_state, x, x, avg, jax.random.key(3), d_params)
+    assert not np.allclose(np.asarray(latent), np.asarray(fake), atol=0.1)
+
+    # pool disabled: the D step must consume the squeezed first w
+    d2, do2, dl2 = coach.train_discriminator(
+        params, state, d_params, d_opt, x, avg, jax.random.key(4), step=0)
+    assert np.isfinite(float(dl2))

@@ -145,9 +145,10 @@ def test_ada_group_fire_rates():
     def between(val, expect, tol=0.06):
         assert abs(val - expect) < tol, (val, expect)
 
-    # blit: xflip(p) + rot90 (fires on 3/4 of its draws, k=0 identity) +
-    # translate(p, P(ty=tx=0)=1/9 at max_t=1 on 12px images)
-    expect_blit = 1 - q * (1 - 0.75 * p) * (1 - p * (1 - 1 / 9))
+    # blit: xflip (fires on 1/2 of its draws, i=0 identity) + rot90
+    # (fires on 3/4 of its draws, k=0 identity) + translate(p,
+    # P(ty=tx=0)=1/9 at max_t=1 on 12px images)
+    expect_blit = 1 - (1 - 0.5 * p) * (1 - 0.75 * p) * (1 - p * (1 - 1 / 9))
     between(_fire_rate(ada_aug.blit_augment, p), expect_blit, tol=0.08)
 
     # geometric: iso(p), rot(p_rot), aniso(p), rot(p_rot), translate(p)

@@ -12,9 +12,11 @@ from stylegan_for_facerec_tpu.train import Stage2Coach, Stage2Config
 
 @pytest.fixture(scope="module")
 def coach():
+    # f32 compute keeps the exact-equality/tight-tolerance tests sharp;
+    # the production bf16 default is covered by test_bf16_compute_step
     cfg = Stage2Config(output_size=32, n_iters_per_batch=2,
                        lpips_lambda=0.0, l2_lambda=1.0, w_norm_lambda=0.01,
-                       target_size=32)
+                       target_size=32, compute_dtype="float32")
     return Stage2Coach(cfg)
 
 
@@ -181,3 +183,30 @@ def test_train_step_updates_bn_running_stats(coach, setup, rng):
     # latent_avg is carried untouched
     np.testing.assert_array_equal(np.asarray(state["latent_avg"]),
                                   np.asarray(new_state["latent_avg"]))
+
+
+def test_bf16_compute_step(rng):
+    """The production default (compute_dtype=bfloat16): params/opt/BN
+    stats stay f32 across steps (no dtype flip-flop -> no retrace), the
+    loss is finite f32, and the encoder still learns."""
+    cfg = Stage2Config(output_size=32, n_iters_per_batch=2,
+                       lpips_lambda=0.0, l2_lambda=1.0, target_size=32)
+    assert cfg.compute_dtype == "bfloat16"
+    c = Stage2Coach(cfg)
+    params, state, opt_state = c.init(jax.random.key(0))
+    state = c.estimate_latent_avg(params, state, jax.random.key(1),
+                                  n_latent=32)
+    avg = c.make_avg_image(params, state, jax.random.key(2))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    enc_before = jax.tree_util.tree_leaves(params["encoder"])[0]
+    for i in range(2):
+        params, state, opt_state, loss, logs, y_hat = c.train_step(
+            params, state, opt_state, x, x, avg, jax.random.key(3 + i))
+    assert np.isfinite(float(loss))
+    assert y_hat.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    bn = state["encoder"]["input_layer"]["1"]
+    assert bn["mean"].dtype == jnp.float32
+    enc_after = jax.tree_util.tree_leaves(params["encoder"])[0]
+    assert not np.allclose(np.asarray(enc_before), np.asarray(enc_after))

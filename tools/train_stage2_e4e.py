@@ -135,7 +135,7 @@ def main():
                                  k1, d_params)
             if cfg.w_discriminator_lambda > 0:
                 d_params, d_opt, d_loss = coach.train_discriminator(
-                    params, state, d_params, d_opt, latent, k2, step)
+                    params, state, d_params, d_opt, x, avg_image, k2, step)
             if step % 50 == 0:
                 extra = ({"d_loss": float(d_loss)}
                          if cfg.w_discriminator_lambda > 0 else {})
