@@ -103,10 +103,13 @@ class AdaConv2dFaster(Layer):
         rf = self.ks * self.ks
         base = xavier_normal(kb, (self.ks, self.ks, self.ic, self.oc),
                              self.ic * rf, self.oc * rf)
-        mask1 = xavier_normal(km, (self.ks, self.ks, self.ic, 1),
-                              self.ic * rf, rf)
-        mask = jnp.tile(mask1[None], (self.ndemog, 1, 1, 1, 1)) \
-            if self.adap else mask1[None]
+        # the reference repeats the (1, ic, k, k) mask to ndemog groups
+        # BEFORE xavier_normal_ (restyle_psp_helpers.py:259-266), so each
+        # group draws an INDEPENDENT kernel and torch's fan_out counts
+        # the group dim (ndemog * rf)
+        g = self.ndemog if self.adap else 1
+        mask = xavier_normal(km, (g, self.ks, self.ks, self.ic, 1),
+                             self.ic * rf, g * rf)
         return {"kernel_base": base, "kernel_mask": mask}, {}
 
     def apply(self, params, state, inputs, ctx):

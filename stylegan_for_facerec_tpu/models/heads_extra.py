@@ -271,10 +271,16 @@ class SSTPrototype(Layer):
         p2, g1 = _normalize(p2), jax.lax.stop_gradient(_normalize(g1))
         bs = p1.shape[0]
         idx = state["index"]
-        label = idx + jnp.arange(bs)
+        # mod-indexed columns: the reference's slice assignment
+        # (metrics.py:677) requires queue_size % bs == 0 and raises
+        # otherwise; wrapping keeps labels and written columns in sync
+        # for any batch size (a clamped dynamic_update_slice would
+        # silently desynchronize them)
+        cols = (idx + jnp.arange(bs)) % self.queue_size
+        label = cols
 
         def theta(p, g):
-            q = jax.lax.dynamic_update_slice(state["queue"], g.T, (0, idx))
+            q = state["queue"].at[:, cols].set(g.T)
             cos = p @ jax.lax.stop_gradient(q)
             return self._add_margin(cos, label) * self.scale
 
@@ -283,11 +289,8 @@ class SSTPrototype(Layer):
 
         pick_g1 = jax.random.bernoulli(ctx.make_rng(), 0.5)
         g_sel = jnp.where(pick_g1, g1, g2)
-        new_queue = jax.lax.dynamic_update_slice(state["queue"], g_sel.T,
-                                                 (0, idx))
-        new_labels = jax.lax.dynamic_update_slice(state["labels"],
-                                                  cur_ids.astype(jnp.int32),
-                                                  (idx,))
+        new_queue = state["queue"].at[:, cols].set(g_sel.T)
+        new_labels = state["labels"].at[cols].set(cur_ids.astype(jnp.int32))
         new_state = {"queue": new_queue,
                      "index": (idx + bs) % self.queue_size,
                      "labels": new_labels}

@@ -71,9 +71,12 @@ def _linear(x, w_oi, b):
     return x @ jnp.asarray(w_oi, x.dtype).T + jnp.asarray(b, x.dtype)
 
 
-@functools.lru_cache(maxsize=3)
-def _load_weights(name: str) -> dict:
-    path = os.path.join(WEIGHTS_DIR, f"{name}.npy")
+@functools.lru_cache(maxsize=12)
+def _load_weights(name: str, weights_dir: Optional[str] = None) -> dict:
+    # the directory is part of the cache key: a cache keyed on the net
+    # name alone would hand a custom-weights_dir detector the arrays of
+    # whichever directory loaded first
+    path = os.path.join(weights_dir or WEIGHTS_DIR, f"{name}.npy")
     return np.load(path, allow_pickle=True)[()]
 
 
@@ -358,12 +361,9 @@ class MTCNN:
     pyramid reuses compiled shapes across images of equal size)."""
 
     def __init__(self, weights_dir: Optional[str] = None):
-        global WEIGHTS_DIR
-        if weights_dir is not None:
-            WEIGHTS_DIR = weights_dir
-        self.pnet_w = _load_weights("pnet")
-        self.rnet_w = _load_weights("rnet")
-        self.onet_w = _load_weights("onet")
+        self.pnet_w = _load_weights("pnet", weights_dir)
+        self.rnet_w = _load_weights("rnet", weights_dir)
+        self.onet_w = _load_weights("onet", weights_dir)
         self._pnet = jax.jit(lambda x: pnet_apply(self.pnet_w, x))
         self._rnet = jax.jit(lambda x: rnet_apply(self.rnet_w, x))
         self._onet = jax.jit(lambda x: onet_apply(self.onet_w, x))

@@ -440,10 +440,19 @@ class Generator(Layer):
             else:
                 latent = styles[0]
         else:
-            idx = inject_index if inject_index is not None else self.n_latent // 2
-            l1 = jnp.repeat(styles[0][:, None], idx, axis=1)
-            l2 = jnp.repeat(styles[1][:, None], self.n_latent - idx, axis=1)
-            latent = jnp.concatenate([l1, l2], axis=1)
+            if inject_index is not None:
+                idx = inject_index
+            elif getattr(ctx, "_key", None) is not None:
+                # per-call random crossover (model.py:512-513
+                # random.randint(1, n_latent-1)); traced idx + where keeps
+                # shapes static under jit
+                idx = jax.random.randint(ctx.make_rng(), (), 1,
+                                         self.n_latent)
+            else:
+                idx = self.n_latent // 2
+            pos = jnp.arange(self.n_latent)[None, :, None]
+            latent = jnp.where(pos < idx, styles[0][:, None, :],
+                               styles[1][:, None, :])
 
         n = latent.shape[0]
         out = jnp.tile(params["input"]["input"].astype(latent.dtype),

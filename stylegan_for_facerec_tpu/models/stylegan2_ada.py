@@ -163,7 +163,14 @@ class MappingNetwork(Layer):
             x = jnp.repeat(x[:, None, :], self.num_ws, axis=1)
 
         if truncation_psi != 1.0:
-            w_avg = state.get("w_avg", jnp.zeros((self.w_dim,), x.dtype))
+            if "w_avg" not in state:
+                # the reference raises on the missing buffer
+                # (generator.py:284-288); silently lerping toward zeros
+                # would shrink outputs toward a meaningless origin
+                raise ValueError(
+                    "truncation_psi != 1 requires a tracked w_avg "
+                    "(construct the mapping network with w_avg_beta)")
+            w_avg = state["w_avg"].astype(x.dtype)
             trunc = w_avg + truncation_psi * (x - w_avg)
             if self.num_ws is not None and truncation_cutoff is not None:
                 x = x.at[:, :truncation_cutoff].set(

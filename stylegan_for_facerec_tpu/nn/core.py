@@ -63,7 +63,8 @@ class Ctx:
             # verbatim would regenerate the parent's exact make_rng()
             # sequence (correlated dropout/noise between branches)
             rng = self.make_rng()
-        return Ctx(train=kw.get("train", self.train), rng=rng)
+        return Ctx(train=kw.get("train", self.train), rng=rng,
+                   bn_groups=kw.get("bn_groups", self.bn_groups))
 
 
 class Layer:

@@ -116,3 +116,16 @@ def test_metric_logger(tmp_path):
     logger.close()
     lines = open(tmp_path / "metrics.jsonl").read().splitlines()
     assert len(lines) == 2
+
+
+def test_adaconv_per_group_masks_independent():
+    """Each demographic group draws an INDEPENDENT adaptive kernel at init
+    (restyle_psp_helpers.py:259-266 repeats BEFORE xavier_normal_); a
+    tiled init would leave every group's adaptation bit-identical."""
+    from stylegan_for_facerec_tpu.models.gac import AdaConv2dFaster
+    layer = AdaConv2dFaster(ndemog=4, ic=8, oc=8, ks=3, adap=True)
+    params, _ = layer.init(jax.random.key(0))
+    mask = np.asarray(params["kernel_mask"])
+    assert mask.shape[0] == 4
+    for g in range(1, 4):
+        assert not np.allclose(mask[0], mask[g]), f"group {g} == group 0"

@@ -134,3 +134,32 @@ def test_sst_prototype_queue(rng):
     (o1, o2, label), state = jh.apply(params, state, (p1, g2, p2, g1, ids),
                                       ctx)
     np.testing.assert_array_equal(np.asarray(label), np.arange(8) + 8)
+
+
+def test_sst_prototype_queue_wraparound(rng):
+    """queue_size NOT divisible by the batch: written columns and the
+    positive labels must stay in sync by wrapping (the torch reference's
+    slice assignment would raise here, metrics.py:677; a clamped
+    dynamic_update_slice silently desynchronized them)."""
+    jh = hx.SSTPrototype(feat_dim=16, queue_size=10, scale=30.0,
+                         loss_type="am_softmax", margin=0.2)
+    params, state = jh.init(jax.random.key(0))
+    ctx = nn.Ctx(train=True, rng=jax.random.key(1))
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        return tuple(jnp.asarray(r.randn(4, 16).astype(np.float32))
+                     for _ in range(4)) + (jnp.arange(4) + 10 * seed,)
+
+    (o1, _, label), state = jh.apply(params, state, batch(1), ctx)
+    (o1, _, label), state = jh.apply(params, state, batch(2), ctx)
+    # third batch wraps: index 8 -> columns 8, 9, 0, 1
+    (o1, _, label), state = jh.apply(params, state, batch(3), ctx)
+    np.testing.assert_array_equal(np.asarray(label), [8, 9, 0, 1])
+    assert int(state["index"]) == 2
+    # wrapped labels landed at the wrapped columns
+    labs = np.asarray(state["labels"])
+    np.testing.assert_array_equal(labs[[8, 9, 0, 1]], [30, 31, 32, 33])
+    # positive logit rows hit real (margined) columns: gt was not zero
+    gt = np.asarray(o1)[np.arange(4), np.asarray(label)]
+    assert np.all(np.abs(gt) > 0)

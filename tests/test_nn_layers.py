@@ -135,3 +135,25 @@ def test_linear_matches_torch(rng):
     want = tl(torch.tensor(x)).detach().numpy()
     got, _ = layer.apply(params, {}, jnp.asarray(x), nn.Ctx())
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_ctx_replace_propagates_bn_groups():
+    """Ctx.replace must carry bn_groups: dropping it silently switched
+    ghost BN to whole-batch statistics in any derived context."""
+    from stylegan_for_facerec_tpu import nn
+    ctx = nn.Ctx(train=True, rng=jax.random.key(0), bn_groups=8)
+    assert ctx.replace(train=False).bn_groups == 8
+    assert ctx.replace(bn_groups=2).bn_groups == 2
+
+
+def test_mapping_truncation_requires_w_avg():
+    """truncation_psi != 1 without a tracked w_avg must raise (reference
+    generator.py:284-288), not silently lerp toward zeros."""
+    import pytest
+    from stylegan_for_facerec_tpu.models.stylegan2_ada import MappingNetwork
+    m = MappingNetwork(z_dim=16, w_dim=16, num_layers=2, num_ws=4,
+                       w_avg_beta=None)
+    params, state = m.init(jax.random.key(0))
+    z = jnp.zeros((2, 16))
+    with pytest.raises(ValueError, match="w_avg"):
+        m.apply(params, state, z, nn.Ctx(train=False), truncation_psi=0.7)

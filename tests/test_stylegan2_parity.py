@@ -129,3 +129,28 @@ def test_discriminator_grad_flows(ref_model, rng):
     g = jax.grad(loss)(params, x)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_generator_style_mixing_random_crossover(g_pair, rng):
+    """With inject_index=None and an rng in the context, the crossover
+    point is sampled per call (model.py:512-513); different keys must be
+    able to produce different mixes, and no rng falls back to the fixed
+    midpoint deterministically."""
+    tm, jm, params, state = g_pair
+    z1 = rng.randn(2, 64).astype(np.float32)
+    z2 = rng.randn(2, 64).astype(np.float32)
+    styles = [jnp.asarray(z1), jnp.asarray(z2)]
+    outs = []
+    for seed in range(6):
+        got, _ = jm.apply(params, state, styles,
+                          nn.Ctx(train=True, rng=jax.random.key(seed)),
+                          randomize_noise=False)
+        outs.append(np.asarray(got))
+    assert any(not np.allclose(outs[0], o) for o in outs[1:]), \
+        "crossover never varied across 6 rng keys"
+    # deterministic fallback without rng
+    a, _ = jm.apply(params, state, styles, nn.Ctx(train=False),
+                    randomize_noise=False)
+    b, _ = jm.apply(params, state, styles, nn.Ctx(train=False),
+                    randomize_noise=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
