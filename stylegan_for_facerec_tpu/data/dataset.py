@@ -17,8 +17,6 @@ shrinks the batch — same data distribution, stable shapes).
 from __future__ import annotations
 
 import os
-import threading
-import queue as queue_mod
 from glob import glob
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -81,20 +79,14 @@ class FacesDataset:
                     np.asarray(self.transform(np.asarray(img, np.uint8)),
                                np.uint8))
             s = self.image_size
-            # torchvision Resize(int) resizes the SMALLER side; follow it,
-            # then center-crop square so batches stack with static shapes
-            # (the reference's per-image host RandomCrop happens on device
-            # instead, see device_augment)
-            w, h = img.size
-            if w <= h:
-                nw, nh = s, max(s, round(h * s / w))
-            else:
-                nh, nw = s, max(s, round(w * s / h))
-            img = img.resize((nw, nh), Image.BILINEAR)
+            # the reference passes a LIST to transforms.Resize
+            # (train.py:110 Resize([128, 128])), which resizes BOTH sides
+            # exactly (aspect-distorting) — its inline comment says
+            # "smaller side resized" but the code is the spec. The
+            # per-image host RandomCrop happens on device instead, see
+            # device_augment
+            img = img.resize((s, s), Image.BILINEAR)
             arr = np.asarray(img, np.float32) / 255.0
-            top = (nh - s) // 2
-            left = (nw - s) // 2
-            arr = arr[top: top + s, left: left + s]
         except Exception:
             return None
         arr = (arr - 0.5) / 0.5
@@ -148,7 +140,6 @@ class DataLoader:
         if self.shuffle:
             rng.shuffle(order)
         nb = len(self)
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def make_batch(b):
@@ -160,49 +151,20 @@ class DataLoader:
             labels = np.asarray([it[1] for it in items], np.int32)
             return imgs, labels
 
-        stop = object()
-        abandoned = threading.Event()
-        failure = []
+        from .packed import _pumped
 
-        def put_final(item):
-            # the sentinel must never be lost: a full queue would drop a
-            # put_nowait, leaving the consumer blocked in q.get() forever
-            # (or silently truncating the epoch). Block with a timeout so
-            # an abandoned consumer doesn't pin the thread.
-            while not abandoned.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    return
-                except queue_mod.Full:
-                    continue
+        def batches():
+            for b in range(nb):
+                yield make_batch(b)
 
-        def producer():
-            try:
-                for b in range(nb):
-                    if abandoned.is_set():
-                        return
-                    q.put(make_batch(b))
-            except Exception as e:       # early consumer exit shut the pool
-                if not abandoned.is_set():
-                    failure.append(e)
-            finally:
-                put_final(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
         try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    if failure:
-                        # surface producer errors (e.g. '10 consecutive
-                        # corrupt samples') instead of a truncated epoch
-                        raise RuntimeError(
-                            "data loader producer failed") from failure[0]
-                    break
-                yield item
+            # _pumped's timeout-put loop means an abandoned consumer never
+            # leaves the producer parked forever in a blocking q.put on a
+            # full queue (surfacing producer errors, e.g. '10 consecutive
+            # corrupt samples', only after the queued batches drain)
+            yield from _pumped(batches, self.prefetch,
+                               "data loader producer failed")
         finally:
-            abandoned.set()
             pool.shutdown(wait=False)
 
 

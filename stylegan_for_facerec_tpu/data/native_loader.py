@@ -163,8 +163,11 @@ def make_loader(dataset: FacesDataset, batch_size: int, **kw):
         supported = lib is not None and bool(lib.fl_has_png())
     if supported:
         try:
+            # TypeError: callers may pass Python-loader-only kwargs (e.g.
+            # prefetch=) — degrade to the Python loader, don't crash only
+            # on hosts where the native build succeeds
             return NativeDataLoader(dataset, batch_size, **kw)
-        except (RuntimeError, OSError):
+        except (RuntimeError, OSError, TypeError):
             pass
     from .dataset import DataLoader
     return DataLoader(dataset, batch_size, **kw)

@@ -146,25 +146,16 @@ inline float lerp_sample(const uint8_t *img, int w, int h, int c, float fx,
   return top * (1 - ay) + bot * ay;
 }
 
-// smaller-side resize to S, center-crop SxS, normalize to [-1, 1]
+// exact SxS bilinear resize (aspect-distorting, matching the reference's
+// transforms.Resize([S, S]) — a LIST argument resizes both sides exactly,
+// train.py:110), then normalize to [-1, 1]
 void resize_normalize(const std::vector<uint8_t> &rgb, int w, int h, int S,
                       float *out) {
-  int nw, nh;
-  if (w <= h) {
-    nw = S;
-    nh = std::max(S, static_cast<int>(std::lround(
-                         static_cast<double>(h) * S / w)));
-  } else {
-    nh = S;
-    nw = std::max(S, static_cast<int>(std::lround(
-                         static_cast<double>(w) * S / h)));
-  }
-  int left = (nw - S) / 2, top = (nh - S) / 2;
-  float sx = static_cast<float>(w) / nw, sy = static_cast<float>(h) / nh;
+  float sx = static_cast<float>(w) / S, sy = static_cast<float>(h) / S;
   for (int y = 0; y < S; ++y) {
-    float fy = (y + top + 0.5f) * sy - 0.5f;
+    float fy = (y + 0.5f) * sy - 0.5f;
     for (int x = 0; x < S; ++x) {
-      float fx = (x + left + 0.5f) * sx - 0.5f;
+      float fx = (x + 0.5f) * sx - 0.5f;
       for (int c = 0; c < 3; ++c) {
         float v = lerp_sample(rgb.data(), w, h, 3, fx, fy, c) / 255.0f;
         out[(static_cast<size_t>(y) * S + x) * 3 + c] = (v - 0.5f) / 0.5f;

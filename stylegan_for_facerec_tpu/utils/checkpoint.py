@@ -27,23 +27,6 @@ import numpy as np
 import jax
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)):
-        out[prefix + "__seq__"] = np.asarray(
-            ["list" if isinstance(tree, list) else "tuple", len(tree)])
-        for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
-    elif tree is None:
-        out[prefix + "__none__"] = np.zeros(0)
-    else:
-        out[prefix.rstrip("/")] = np.asarray(tree)
-    return out
-
-
 def save_checkpoint(path: str, tree: Any,
                     metadata: Optional[Dict] = None,
                     backend: str = "npz") -> None:

@@ -157,6 +157,11 @@ def from_reference_stage3(configurations: Dict[int, Dict[str, Any]],
         avg_image=c.get("ENCODER_AVG_IMAGE"),
         input_size=tuple(c.get("INPUT_SIZE", (112, 112))),
         emb_size=c.get("EMBEDDING_SIZE", 512),
+        # train.py:121 joins DATA_ROOT with TRAIN_IMAGES_FOLDER verbatim
+        train_subdir=c.get("TRAIN_IMAGES_FOLDER",
+                           Stage3Options.train_subdir),
+        drop_last=c.get("DROP_LAST", True),
+        num_workers=c.get("NUM_WORKERS", 8),
         batch_size=c.get("BATCH_SIZE", 100),
         lr=c.get("LR", 0.03),
         momentum=c.get("MOMENTUM", 0.9),

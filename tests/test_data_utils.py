@@ -144,6 +144,12 @@ def test_reference_config_conversion():
     # WARMUP=True with NUM_EPOCH//25 otherwise
     assert opts.warmup_epochs == (0 if not mod.configurations[1]["WARMUP"]
                                   else opts.num_epochs // 25)
+    # TRAIN_IMAGES_FOLDER joins DATA_ROOT verbatim (train.py:121);
+    # dropping it trained from the wrong subdirectory
+    assert opts.train_subdir == mod.configurations[1][
+        "TRAIN_IMAGES_FOLDER"]
+    assert opts.drop_last == mod.configurations[1]["DROP_LAST"]
+    assert opts.num_workers == mod.configurations[1]["NUM_WORKERS"]
 
 
 def test_orbax_checkpoint_backend_roundtrip(tmp_path, rng):
@@ -205,3 +211,22 @@ def test_faces_dataset_transform_hook(tmp_path, rng):
 
     dl = native_loader.make_loader(inverted, batch_size=2)
     assert isinstance(dl, DataLoader)
+
+
+def test_faces_dataset_resize_is_exact_square(tmp_path):
+    """transforms.Resize([128,128]) with a LIST resizes BOTH sides exactly
+    (train.py:110) — non-square sources are squashed, not center-cropped;
+    edge content must survive."""
+    from PIL import Image
+    d = tmp_path / "id0"
+    os.makedirs(d)
+    arr = np.zeros((32, 64, 3), np.uint8)       # wide image
+    arr[:, :4, 0] = 255                          # left edge red
+    arr[:, -4:, 2] = 255                         # right edge blue
+    Image.fromarray(arr).save(str(d / "a.png"))
+    ds = FacesDataset(str(tmp_path), image_size=32)
+    img, _ = ds.load(0)
+    assert img.shape == (32, 32, 3)
+    # a smaller-side-resize + center-crop would discard both edges
+    assert img[:, 0, 0].mean() > 0.5, "left edge lost"
+    assert img[:, -1, 2].mean() > 0.5, "right edge lost"

@@ -20,13 +20,16 @@ import numpy as np
 
 
 def ffhq_align(filepath, predictor, output_size=256,
-               transform_size=256):
+               transform_size=256, detector=None):
     """Canonical FFHQ alignment from 68 dlib landmarks."""
     import dlib
     import PIL.Image
     import scipy.ndimage
 
-    detector = dlib.get_frontal_face_detector()
+    if detector is None:
+        # callers processing many images should build one detector and
+        # pass it in (the reference builds it once per worker)
+        detector = dlib.get_frontal_face_detector()
     img = dlib.load_rgb_image(filepath)
     dets = detector(img, 1)
     if not dets:
@@ -78,6 +81,7 @@ def main():
     try:
         import dlib
         predictor = dlib.shape_predictor(args.predictor)
+        detector = dlib.get_frontal_face_detector()   # build ONCE
         use_dlib = True
     except Exception as e:
         print(f"[align_faces] dlib unavailable ({e}); falling back to "
@@ -96,7 +100,8 @@ def main():
         return
 
     def one(nm):
-        out = ffhq_align(nm, predictor, args.output_size)
+        out = ffhq_align(nm, predictor, args.output_size,
+                         detector=detector)
         if out is None:
             return 0
         rel = os.path.relpath(nm, args.in_dir)

@@ -30,6 +30,9 @@ def main():
                     help="enable encoder bootstrapping: model 1 "
                          "initializes, model 2 iterates")
     ap.add_argument("--save_latents", action="store_true")
+    ap.add_argument("--avg_image", default=None,
+                    help="explicit avg-image .npy (overrides the "
+                    "checkpoint-adjacent avg_image.npy lookup)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -45,7 +48,10 @@ def main():
     ckpt = load_checkpoint(args.checkpoint_path)
     params, state = ckpt["params"], ckpt["state"]
     avg_image = None
-    if isinstance(ckpt, dict) and "avg_image" in ckpt:
+    if args.avg_image:
+        avg_image = jnp.asarray(np.load(args.avg_image))
+        print(f"[init] avg image from {args.avg_image}")
+    elif isinstance(ckpt, dict) and "avg_image" in ckpt:
         avg_image = jnp.asarray(ckpt["avg_image"])
     else:
         # the stage-2 CLI exports avg_image.npy next to its checkpoints
@@ -58,6 +64,10 @@ def main():
                 print(f"[init] avg image from {p}")
                 break
     if avg_image is None:
+        print("[warn] no avg_image.npy found next to the checkpoint; "
+              "conditioning on a ZERO average image — reconstructions "
+              "will degrade (pass --avg_image or keep the stage-2 "
+              "export beside the checkpoint)")
         avg_image = jnp.zeros((112, 112, 3))
 
     model2 = vars2 = None

@@ -11,6 +11,7 @@ JSON/YAML Stage3Options.
 """
 
 import argparse
+import dataclasses
 import importlib.util
 import os
 import sys
@@ -82,6 +83,23 @@ def main():
     from stylegan_for_facerec_tpu.utils.checkpoint import CheckpointManager
 
     opts = load_options(args.config)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=n_dev // args.mesh_model_axis,
+                     model=args.mesh_model_axis) if n_dev > 1 else None
+    if mesh is not None:
+        data_axis = mesh.shape["data"]
+        if opts.batch_size % data_axis:
+            # SPMD batch sharding needs divisibility (torch DataParallel
+            # tolerated uneven splits; the reference default 100 is not
+            # divisible by an 8-device axis). Round DOWN so memory never
+            # exceeds the requested budget.
+            new_bs = max(data_axis, opts.batch_size // data_axis
+                         * data_axis)
+            print(f"[mesh] batch_size {opts.batch_size} is not divisible "
+                  f"by the {data_axis}-device data axis; using {new_bs}")
+            opts = dataclasses.replace(opts, batch_size=new_bs)
+
     train_root = os.path.join(opts.data_root, opts.train_subdir)
     packed_dir = args.packed_dir
     if packed_dir is None and is_packed_dir(train_root):
@@ -107,11 +125,13 @@ def main():
         loader = make_loader(ds, opts.batch_size,
                              num_workers=opts.num_workers,
                              drop_last=opts.drop_last)
+    if len(ds) == 0 or ds.n_identities == 0:
+        raise SystemExit(f"no training images found under {train_root} "
+                         "(check data_root/train_subdir)")
     steps_per_epoch = len(loader)
-
-    n_dev = len(jax.devices())
-    mesh = make_mesh(data=n_dev // args.mesh_model_axis,
-                     model=args.mesh_model_axis) if n_dev > 1 else None
+    if steps_per_epoch == 0:
+        raise SystemExit(f"dataset ({len(ds)} images) smaller than one "
+                         f"batch ({opts.batch_size}) with drop_last")
 
     backbone = build_backbone(opts, ds.n_identities)
     cfg = Stage3Config(
