@@ -133,7 +133,12 @@ class NativeDataLoader:
                 self._handle,
                 images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-            if n <= 0:
+            if n < 0:
+                # an item exhausted its 10 decode attempts; mirror the
+                # Python DataLoader's contract instead of yielding a
+                # zero image with a real class label
+                raise RuntimeError("10 consecutive corrupt samples")
+            if n == 0:
                 break
             yield images[:n].copy(), labels[:n].copy()
 

@@ -3,11 +3,12 @@
 //
 // TPU-native counterpart of the reference's torch DataLoader fork workers
 // (/root/reference/train.py:129-132, num_workers=8 + pin_memory): worker
-// threads libjpeg-decode images, bilinear-resize the smaller side to S,
-// center-crop SxS, normalize to [-1,1] float32 NHWC, and assemble whole
-// batches into a bounded ring of buffers the host thread hands to
-// jax.device_put. Corrupt files are replaced by resampling another index
-// (keeps batch shapes static — the semantics of dataset.py:77-91 +
+// threads libjpeg-decode images, bilinear-resize to exactly SxS (the
+// reference's transforms.Resize([S, S]) list form, train.py:110),
+// normalize to [-1,1] float32 NHWC, and assemble whole batches into a
+// bounded ring of buffers the host thread hands to jax.device_put.
+// Corrupt files are replaced by resampling another index (keeps batch
+// shapes static — the semantics of dataset.py:77-91 +
 // collate_fn_ignore_none without dynamic batch sizes).
 //
 // C API (ctypes-friendly); see data/native_loader.py for the wrapper.
@@ -167,6 +168,7 @@ void resize_normalize(const std::vector<uint8_t> &rgb, int w, int h, int S,
 struct Batch {
   size_t index = 0;
   size_t valid = 0;  // real item count (< batch_size only for the tail)
+  size_t bad = 0;    // items that exhausted their 10 decode attempts
   std::vector<float> images;
   std::vector<int32_t> labels;
 };
@@ -211,7 +213,11 @@ struct Loader {
                           : (paths.size() + batch_size - 1) / batch_size;
   }
 
-  void fill_item(uint32_t idx, float *img_out, int32_t *label_out,
+  // returns false when 10 consecutive decodes failed — the caller must
+  // surface the error (silently training on a zero image with a real
+  // class label would skew the head toward a random identity; the
+  // Python DataLoader raises '10 consecutive corrupt samples' here)
+  bool fill_item(uint32_t idx, float *img_out, int32_t *label_out,
                  std::mt19937 &rng) {
     std::vector<uint8_t> rgb;
     int w, h;
@@ -219,13 +225,14 @@ struct Loader {
       if (decode_image(paths[idx], rgb, w, h) && w > 0 && h > 0) {
         resize_normalize(rgb, w, h, out_size, img_out);
         *label_out = labels[idx];
-        return;
+        return true;
       }
       idx = rng() % paths.size();  // corrupt: resample (static shapes)
     }
     std::memset(img_out, 0,
                 sizeof(float) * 3 * out_size * out_size);
-    *label_out = labels.empty() ? 0 : labels[idx];
+    *label_out = 0;
+    return false;
   }
 
   void worker(int wid) {
@@ -242,10 +249,11 @@ struct Loader {
                            out_size * 3);
       batch->labels.resize(batch_size);
       for (size_t i = 0; i < count; ++i) {
-        fill_item(order[start + i],
-                  batch->images.data() +
-                      i * static_cast<size_t>(out_size) * out_size * 3,
-                  &batch->labels[i], rng);
+        if (!fill_item(order[start + i],
+                       batch->images.data() +
+                           i * static_cast<size_t>(out_size) * out_size * 3,
+                       &batch->labels[i], rng))
+          batch->bad++;
       }
       batch->valid = count;
       for (size_t i = count; i < static_cast<size_t>(batch_size); ++i) {
@@ -289,7 +297,13 @@ struct Loader {
   }
 
   void join() {
-    stop_flag = true;
+    {
+      // setting stop_flag under mu closes the lost-wakeup window: a
+      // worker that just evaluated the wait predicate (false) while
+      // holding mu cannot miss this notify and sleep forever
+      std::unique_lock<std::mutex> lk(mu);
+      stop_flag = true;
+    }
     cv_ready.notify_all();
     for (auto &t : workers)
       if (t.joinable()) t.join();
@@ -339,7 +353,8 @@ int fl_num_batches(void *handle) {
 
 // blocking: copy the next ready batch into caller buffers.
 // returns the number of REAL items in the batch (== batch_size except for
-// a ragged drop_last=false tail), 0 when the epoch is exhausted.
+// a ragged drop_last=false tail), 0 when the epoch is exhausted, or -1
+// when an item exhausted its 10 decode attempts (the wrapper raises).
 int fl_next(void *handle, float *images_out, int32_t *labels_out) {
   auto *l = static_cast<Loader *>(handle);
   Batch *batch = nullptr;
@@ -362,8 +377,9 @@ int fl_next(void *handle, float *images_out, int32_t *labels_out) {
   std::memcpy(labels_out, batch->labels.data(),
               batch->labels.size() * sizeof(int32_t));
   int valid = static_cast<int>(batch->valid);
+  bool bad = batch->bad != 0;
   delete batch;
-  return valid;
+  return bad ? -1 : valid;
 }
 
 void fl_reset(void *handle, uint32_t seed) {

@@ -182,3 +182,19 @@ def test_build_cache_keyed_by_source_hash(tmp_path, monkeypatch):
     src = open(native_loader._SRC, "rb").read()
     import hashlib
     assert hashlib.sha1(src).hexdigest()[:12] in so1
+
+
+def test_native_all_corrupt_raises(lib_available, tmp_path):
+    """When an item exhausts its 10 decode attempts the loader must RAISE
+    (fl_next -1), mirroring the Python DataLoader — not yield a zero
+    image labeled with a real class."""
+    root = tmp_path / "bad"
+    d = root / "id0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        (d / f"{i}.jpg").write_bytes(b"definitely not a jpeg")
+    ds = FacesDataset(str(root))
+    dl = native_loader.NativeDataLoader(ds, batch_size=2, shuffle=False,
+                                        num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        list(dl)
