@@ -191,3 +191,32 @@ def test_synthesis_prng_ab_skips_second_impl_when_budget_thin(monkeypatch):
     assert extras["synthesis_prng_impl"] == "threefry2x32"
     assert "synthesis_rbg_imgs_per_sec" not in extras
     assert jax.config.jax_default_prng_impl == "threefry2x32"
+
+
+def test_last_good_roundtrip(tmp_path):
+    """A successful run persists; a degraded line cites it in extras
+    without substituting the 0.0 value."""
+    path = str(tmp_path / "last_good.json")
+    good = {"metric": bench.PRIMARY_METRIC, "value": 3705.0,
+            "unit": "imgs/sec/chip", "vs_baseline": 5.9, "extras": {}}
+    bench.record_last_good(good, path=path)
+    assert os.path.exists(path)
+
+    degraded = bench.degraded_result("probe timed out")
+    out = bench.attach_last_good(degraded, path=path)
+    assert out["value"] == 0.0                      # never substituted
+    lg = out["extras"]["last_good"]
+    assert lg["value"] == 3705.0 and lg["recorded_at"]
+
+    # a good result passes through untouched and never gains last_good
+    out2 = bench.attach_last_good(dict(good), path=path)
+    assert "last_good" not in out2["extras"]
+
+
+def test_last_good_not_recorded_for_degraded(tmp_path):
+    path = str(tmp_path / "last_good.json")
+    bench.record_last_good(bench.degraded_result("x"), path=path)
+    assert not os.path.exists(path)
+    # attach with no file is a no-op
+    d = bench.attach_last_good(bench.degraded_result("x"), path=path)
+    assert "last_good" not in d["extras"]
