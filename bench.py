@@ -557,6 +557,13 @@ def _bench_e2e_train(extras):
         step_ips = extras.get("arcface_train_imgs_per_sec")
         if step_ips:
             extras["arcface_e2e_vs_step"] = round(ips / step_ips, 3)
+        bound = extras.get("arcface_e2e_transfer_bound_imgs_per_sec")
+        if bound:
+            # the first-class ratio: e2e against the ceiling the link
+            # imposes on ANY pipeline. ~1.0 = the pipeline saturates the
+            # host->device link (the dev tunnel ships ~20 MB/s; e2e_vs_step
+            # alone reads as a pipeline deficiency when it is the link)
+            extras["arcface_e2e_vs_transfer_bound"] = round(ips / bound, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
