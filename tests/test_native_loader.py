@@ -126,9 +126,8 @@ def test_make_loader_rejects_unsupported_format(faces_root, tmp_path, rng):
     for i in range(4):
         arr = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
         Image.fromarray(arr).save(d / f"{i}.bmp")
-    ds = FacesDataset(str(root))
-    if len(ds) == 0:
-        pytest.skip("FacesDataset does not glob .bmp")
+    ds = FacesDataset(str(root), extensions=(".bmp",))
+    assert len(ds) == 4
     dl = native_loader.make_loader(ds, batch_size=2)
     assert isinstance(dl, DataLoader)
 
