@@ -399,12 +399,19 @@ class SynthesisNetwork(Layer):
             params["first_block"], state["first_block"], split_ws[0], ctx,
             noise_mode=noise_mode)
         new_state = {"first_block": s}
+        if ctx.shard_fn is not None:
+            # pin each block's activations to the requested (spatial)
+            # sharding so GSPMD partitions the convs with halo exchanges
+            # rather than replicating the growing image (parallel/spatial)
+            x, img = ctx.shard_fn(x), ctx.shard_fn(img)
         for i in range(nblocks - 1):
             name = f"blocks.{i}"
             (x, img), s = ch[name].apply(params[name], state[name],
                                          (x, img, split_ws[i + 1]), ctx,
                                          noise_mode=noise_mode)
             new_state[name] = s
+            if ctx.shard_fn is not None:
+                x, img = ctx.shard_fn(x), ctx.shard_fn(img)
         return img, new_state
 
 

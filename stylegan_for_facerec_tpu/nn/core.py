@@ -37,10 +37,10 @@ class Ctx:
     sequence is stable under jit.
     """
 
-    __slots__ = ("train", "_key", "_count", "bn_groups")
+    __slots__ = ("train", "_key", "_count", "bn_groups", "shard_fn")
 
     def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
-                 bn_groups: Optional[int] = None):
+                 bn_groups: Optional[int] = None, shard_fn=None):
         self.train = bool(train)
         self._key = rng
         self._count = 0
@@ -48,6 +48,11 @@ class Ctx:
         # (ghost BN — the SPMD emulation of DataParallel per-replica BN);
         # None/1: whole-batch statistics
         self.bn_groups = bn_groups
+        # optional activation-sharding hook (parallel/spatial.py): models
+        # that synthesize large spatial extents call it on per-block
+        # activations so GSPMD partitions the convs (halo exchange)
+        # instead of replicating the whole image per device. None = no-op.
+        self.shard_fn = shard_fn
 
     def make_rng(self) -> jax.Array:
         if self._key is None:
@@ -64,7 +69,8 @@ class Ctx:
             # sequence (correlated dropout/noise between branches)
             rng = self.make_rng()
         return Ctx(train=kw.get("train", self.train), rng=rng,
-                   bn_groups=kw.get("bn_groups", self.bn_groups))
+                   bn_groups=kw.get("bn_groups", self.bn_groups),
+                   shard_fn=kw.get("shard_fn", self.shard_fn))
 
 
 class Layer:
