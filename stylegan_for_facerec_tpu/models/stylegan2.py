@@ -475,6 +475,11 @@ class Generator(Layer):
                 params[f"to_rgbs.{b}"], {}, (out, latent[:, i + 2]), ctx,
                 skip=skip)
             i += 2
+            if ctx.shard_fn is not None:
+                # spatial sharding hook (parallel/spatial.py): pin each
+                # resolution's activations so GSPMD halo-exchanges the
+                # convs instead of replicating the growing image
+                out, skip = ctx.shard_fn(out), ctx.shard_fn(skip)
 
         if return_latents:
             return (skip, latent), dict(state)

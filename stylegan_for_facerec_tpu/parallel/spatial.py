@@ -54,11 +54,15 @@ def spatial_shard_fn(mesh: Mesh, axis: str = "data",
 
 
 def make_spatial_synthesis(generator, mesh: Mesh, axis: str = "data",
-                           min_rows_per_shard: int = 1,
-                           noise_mode: str = "random",
-                           truncation_psi: float = 1.0):
+                           min_rows_per_shard: int = 1, **apply_kwargs):
     """Jitted ``fn(params, state, z, key) -> img`` with the synthesis
     pyramid spatially sharded over ``mesh.shape[axis]`` devices.
+
+    Works with both generator families — extra ``apply_kwargs`` are
+    forwarded verbatim to ``generator.apply`` (e.g. ``noise_mode=`` /
+    ``truncation_psi=`` for the ADA generator, ``randomize_noise=`` /
+    ``input_is_latent=`` for the rosinality one; an apply that returns
+    ``(img, aux)`` as its output value has the image taken from index 0).
 
     The returned image is left sharded P(None, axis) — materialize with
     ``np.asarray`` (gathers) or keep it on-mesh for downstream sharded
@@ -74,9 +78,9 @@ def make_spatial_synthesis(generator, mesh: Mesh, axis: str = "data",
              out_shardings=out)
     def synth(params, state, z, key):
         ctx = Ctx(train=False, rng=key, shard_fn=shard)
-        img, _ = generator.apply(params, state, z, ctx,
-                                 truncation_psi=truncation_psi,
-                                 noise_mode=noise_mode)
+        img, _ = generator.apply(params, state, z, ctx, **apply_kwargs)
+        if isinstance(img, tuple):     # e.g. return_latents=True
+            img = img[0]
         return img
 
     return synth

@@ -113,3 +113,27 @@ def test_spatial_shard_fn_guards_small_heights(devices):
         assert fn(tiny) is tiny
         out = jax.jit(fn)(ok)
     assert out.shape == ok.shape
+
+
+def test_spatial_sharded_rosinality_matches_single(rng, devices):
+    from stylegan_for_facerec_tpu.models import stylegan2 as sg2
+    from stylegan_for_facerec_tpu.parallel import (make_mesh,
+                                                   make_spatial_synthesis)
+
+    g = sg2.Generator(size=64, style_dim=32, n_mlp=2)
+    params, state = g.init(jax.random.key(0))
+    z = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+    key = jax.random.key(9)
+
+    @jax.jit
+    def single(params, state, z, key):
+        img, _ = g.apply(params, state, z, nn.Ctx(train=False, rng=key),
+                         randomize_noise=False)
+        return img
+
+    want = np.asarray(single(params, state, z, key))
+    mesh = make_mesh(data=8, model=1)
+    synth = make_spatial_synthesis(g, mesh, randomize_noise=False)
+    got = synth(params, state, z, key)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
