@@ -25,6 +25,17 @@ def main():
     ap.add_argument("--image_size", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--fid_interval", type=int, default=0,
+                    help="every N steps report embedding-space FID "
+                         "between g_ema samples and real images "
+                         "(stylegan2-ada-lightning logs Inception FID; "
+                         "offline we use IR-SE-50 features, see eval/fid)")
+    ap.add_argument("--fid_n", type=int, default=256,
+                    help="sample count per side for the FID estimate")
+    ap.add_argument("--fid_encoder", default=None,
+                    help="IR-SE-50 checkpoint dir for the FID feature "
+                         "space; omitted = random-init features (valid "
+                         "for RELATIVE progress within this run only)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.data.images_dataset import (
@@ -43,6 +54,54 @@ def main():
     ds = InferenceDataset(args.data_root, size=cfg.image_size)
     print(f"[data] {len(ds)} images")
     mgr = CheckpointManager(args.exp_dir)
+
+    compute_fid = None
+    if args.fid_interval > 0:
+        from stylegan_for_facerec_tpu import nn as nn_lib
+        from stylegan_for_facerec_tpu.eval.fid import embedding_fid
+        from stylegan_for_facerec_tpu.models import irse
+        from stylegan_for_facerec_tpu.ops.image import resize_bilinear
+
+        enc = irse.IR_SE_50(112)
+        if args.fid_encoder:
+            from stylegan_for_facerec_tpu.utils.checkpoint import (
+                load_checkpoint)
+            ck = load_checkpoint(args.fid_encoder)
+            e_params = ck["params"].get("backbone", ck["params"])
+            e_state = ck["state"].get("backbone", ck["state"])
+        else:
+            print("[fid] no --fid_encoder: random-init IR-SE-50 feature "
+                  "space; the metric tracks RELATIVE progress only")
+            e_params, e_state = enc.init(jax.random.key(11))
+
+        @jax.jit
+        def _embed(x):
+            y, _ = enc.apply(e_params, e_state,
+                             resize_bilinear(x, 112, 112),
+                             nn_lib.Ctx(train=False))
+            return y
+
+        @jax.jit
+        def _synth(g_ema, g_state, z, k):
+            img, _ = trainer.G.apply(
+                g_ema, g_state, z, nn_lib.Ctx(train=False, rng=k),
+                noise_mode="random")
+            return img
+
+        fid_bs = min(32, args.fid_n)
+
+        def compute_fid(state, key):
+            n = (args.fid_n // fid_bs) * fid_bs
+            idx = np.random.permutation(len(ds))[:n]
+            reals = np.stack([np.asarray(ds[j]) for j in idx])
+            fakes = []
+            for i in range(0, n, fid_bs):
+                key, kz, kn = jax.random.split(key, 3)
+                z = jax.random.normal(kz, (fid_bs, cfg.z_dim))
+                fakes.append(np.asarray(
+                    _synth(state["g_ema"], state["g_state"], z, kn)))
+            return embedding_fid(_embed, reals,
+                                 np.concatenate(fakes), batch_size=fid_bs)
 
     step = 0
     key = jax.random.key(1)
@@ -65,6 +124,10 @@ def main():
             if step % 2000 == 0 and step > 0:
                 mgr.save(step, {"g_ema": state["g_ema"],
                                 "g_state": state["g_state"]})
+            if (compute_fid is not None and step > 0
+                    and step % args.fid_interval == 0):
+                key, kf = jax.random.split(key)
+                print(f"step {step} fid512 {compute_fid(state, kf):.3f}")
             step += 1
             if step >= max_steps:
                 break
