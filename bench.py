@@ -75,7 +75,10 @@ def record_last_good(result, path=_LAST_GOOD_PATH):
     CLAUDE.md); a 0.0 emitted then is an availability fact, not a perf
     fact, and the judge should see the most recent real number alongside
     it. Never substitutes the value — only rides in extras."""
-    if not (isinstance(result, dict) and result.get("value", 0) > 0):
+    value = result.get("value") if isinstance(result, dict) else None
+    # a scraped child line is untrusted: value may be null/str — never
+    # let a malformed line kill the parent's one-JSON-line contract
+    if not (isinstance(value, (int, float)) and value > 0):
         return
     keep = {k: result[k] for k in
             ("metric", "value", "unit", "vs_baseline", "extras")
@@ -92,13 +95,18 @@ def record_last_good(result, path=_LAST_GOOD_PATH):
 def attach_last_good(result, path=_LAST_GOOD_PATH):
     """On a degraded (value 0) line, attach the last persisted good run
     under extras.last_good, clearly labeled with its timestamp."""
-    if not isinstance(result, dict) or result.get("value", 0) > 0:
+    if not isinstance(result, dict):
+        return result
+    value = result.get("value")
+    if isinstance(value, (int, float)) and value > 0:
         return result
     try:
         with open(path) as f:
             good = json.load(f)
     except (OSError, ValueError):
         return result
+    if good.get("metric") != result.get("metric"):
+        return result    # never cite a different metric as "this same one"
     extras = result.setdefault("extras", {})
     extras["last_good"] = {
         "value": good.get("value"),
@@ -123,27 +131,44 @@ def run_with_retries(argv, attempts=None, backoff_s=15.0, timeout_s=3000.0,
             # capture stdout (for the JSON line); TEE stderr — stream it
             # live (a stuck phase stays visible in the driver's recorded
             # tail) while keeping the last lines so retry/degraded logs
-            # carry the actual failure reason
+            # carry the actual failure reason. Each pipe gets exactly ONE
+            # reader thread: communicate() alongside a stderr pump would
+            # race it for the same fd (lines land in whichever reader
+            # wins) and then close the pipe under the pump mid-iteration.
             import collections
             import threading
             tail = collections.deque(maxlen=30)
+            out_parts = []
             proc = subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
                                     stderr=subprocess.PIPE, text=True)
 
-            def pump():
+            def pump_err():
                 for line in proc.stderr:
                     sys.stderr.write(line)
                     tail.append(line)
-            t = threading.Thread(target=pump, daemon=True)
-            t.start()
+
+            def pump_out():
+                out_parts.append(proc.stdout.read())
+
+            te = threading.Thread(target=pump_err, daemon=True)
+            to = threading.Thread(target=pump_out, daemon=True)
+            te.start()
+            to.start()
             try:
-                out, _ = proc.communicate(timeout=timeout)
+                proc.wait(timeout=timeout)
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait()
-                raise
-            t.join(timeout=5)
-            return proc.returncode, out, "".join(tail)
+                te.join(timeout=5)
+                to.join(timeout=5)
+                # hand the collected tail to the caller: a stuck phase's
+                # last _log() marker is exactly what the timeout log needs
+                raise subprocess.TimeoutExpired(
+                    argv, timeout, output="".join(out_parts) or None,
+                    stderr="".join(tail) or None)
+            te.join(timeout=5)
+            to.join(timeout=5)
+            return proc.returncode, "".join(out_parts), "".join(tail)
 
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
@@ -171,8 +196,12 @@ def run_with_retries(argv, attempts=None, backoff_s=15.0, timeout_s=3000.0,
             continue
         try:
             rc, out, err = runner(argv, env, timeout_s)
-        except subprocess.TimeoutExpired:
-            rc, out, err = -1, "", f"child timed out after {timeout_s}s"
+        except subprocess.TimeoutExpired as e:
+            # the stderr tail identifies WHICH phase wedged
+            stuck = (e.stderr or "").strip().splitlines()
+            rc, out = -1, ""
+            err = (f"child timed out after {timeout_s}s"
+                   + (f"; last: {stuck[-1][-200:]}" if stuck else ""))
         parsed = extract_json_line(out)
         if parsed is not None:
             return parsed

@@ -25,7 +25,6 @@ and conv partitioning only re-tiles the same reductions.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -137,3 +137,35 @@ def test_spatial_sharded_rosinality_matches_single(rng, devices):
     got = synth(params, state, z, key)
     assert len(got.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_hook_engages_in_both_generators(rng, devices):
+    """The Ctx.shard_fn hook must actually be CALLED per block with the
+    growing pyramid resolutions (the match tests alone would pass even if
+    the hook were never wired — out_shardings forces the final layout)."""
+    from stylegan_for_facerec_tpu.models import stylegan2 as sg2
+
+    seen_ada, seen_ros = [], []
+
+    def record(into):
+        def fn(x):
+            if getattr(x, "ndim", 0) == 4:
+                into.append(int(x.shape[1]))
+            return x
+        return fn
+
+    g = ada.Generator(z_dim=16, w_dim=16, w_num_layers=1,
+                      img_resolution=32)
+    p, s = g.init(jax.random.key(0))
+    z = jnp.zeros((1, 16))
+    g.apply(p, s, z, nn.Ctx(train=False, rng=jax.random.key(1),
+                            shard_fn=record(seen_ada)),
+            noise_mode="const")
+    assert 32 in seen_ada and max(seen_ada) == 32
+
+    g2 = sg2.Generator(size=32, style_dim=16, n_mlp=1)
+    p2, s2 = g2.init(jax.random.key(0))
+    g2.apply(p2, s2, jnp.zeros((1, 16)),
+             nn.Ctx(train=False, shard_fn=record(seen_ros)),
+             randomize_noise=False)
+    assert 32 in seen_ros and max(seen_ros) == 32

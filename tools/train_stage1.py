@@ -57,6 +57,9 @@ def main():
 
     compute_fid = None
     if args.fid_interval > 0:
+        if args.fid_n < 2:
+            raise SystemExit("--fid_n must be >= 2 (covariance needs at "
+                             "least two samples per side)")
         from stylegan_for_facerec_tpu import nn as nn_lib
         from stylegan_for_facerec_tpu.eval.fid import embedding_fid
         from stylegan_for_facerec_tpu.models import irse
@@ -74,12 +77,17 @@ def main():
                   "space; the metric tracks RELATIVE progress only")
             e_params, e_state = enc.init(jax.random.key(11))
 
+        # params as jit ARGUMENTS, never closure constants: the axon
+        # remote-compile helper rejects >~100MB serialized bodies with
+        # HTTP 413 (CLAUDE.md; IR-SE-50 is ~170MB f32)
         @jax.jit
-        def _embed(x):
-            y, _ = enc.apply(e_params, e_state,
-                             resize_bilinear(x, 112, 112),
+        def _embed_p(p, s, x):
+            y, _ = enc.apply(p, s, resize_bilinear(x, 112, 112),
                              nn_lib.Ctx(train=False))
             return y
+
+        def _embed(x):
+            return _embed_p(e_params, e_state, x)
 
         @jax.jit
         def _synth(g_ema, g_state, z, k):
