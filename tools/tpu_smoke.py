@@ -182,7 +182,9 @@ def main():
                                          args.workdir, "stage1"),
                                      "--image_size", "32",
                                      "--batch_size", "4",
-                                     "--max_steps", "3"]))
+                                     "--max_steps", "3",
+                                     "--fid_interval", "2",
+                                     "--fid_n", "8"]))
 
     if args.only:
         results = [(n, c) for n, c in results if n in args.only]
