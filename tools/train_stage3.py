@@ -148,8 +148,33 @@ def main():
                             steps_per_epoch=steps_per_epoch)
     params, state, opt_state = trainer.init(jax.random.key(0))
 
-    # stage-2 encoder init (restyle_psp.py:419-437)
-    if opts.encoder_checkpoint:
+    # stage-2 encoder init (restyle_psp.py:419-437). Two handoff formats:
+    # a torch .pt from the reference stack, or a run/checkpoint DIRECTORY
+    # from tools/train_stage2.py (same encoder.{input_layer,body} tree).
+    avg_image_path = opts.avg_image
+    if opts.encoder_checkpoint and os.path.isdir(opts.encoder_checkpoint):
+        from stylegan_for_facerec_tpu.utils.checkpoint import (
+            load_checkpoint as _load_native)
+        ckpt = _load_native(opts.encoder_checkpoint)
+        enc = ckpt["params"]["encoder"]
+        enc_state = ckpt.get("state", {}).get("encoder", {})
+        for k in ("input_layer", "body"):
+            want = jax.tree_util.tree_structure(
+                params["backbone"]["encoder"][k])
+            got = jax.tree_util.tree_structure(enc[k])
+            if want != got:
+                raise SystemExit(
+                    f"stage-2 encoder.{k} tree does not match the "
+                    f"stage-3 backbone (different num_layers/mode?)")
+            params["backbone"]["encoder"][k] = enc[k]
+            if k in enc_state:
+                state["backbone"]["encoder"][k] = enc_state[k]
+        print("[init] loaded stage-2 encoder weights (native run dir)")
+        if not avg_image_path:
+            cand = os.path.join(opts.encoder_checkpoint, "avg_image.npy")
+            if os.path.exists(cand):
+                avg_image_path = cand
+    elif opts.encoder_checkpoint:
         from stylegan_for_facerec_tpu.utils.torch_convert import (
             from_torch, load_torch_checkpoint)
         ckpt = load_torch_checkpoint(opts.encoder_checkpoint)
@@ -166,12 +191,17 @@ def main():
             if k in s_enc:
                 state["backbone"]["encoder"][k] = s_enc[k]
         print("[init] loaded stage-2 encoder weights")
-    if opts.avg_image and hasattr(backbone, "use_avg_image"):
-        from PIL import Image
-        img = np.asarray(Image.open(opts.avg_image).convert("RGB"),
-                         np.float32) / 255.0
-        state["backbone"]["avg_image"] = jnp.asarray((img - 0.5) / 0.5)
-        print("[init] loaded avg image")
+    if avg_image_path and hasattr(backbone, "use_avg_image"):
+        if avg_image_path.endswith(".npy"):
+            # stage-2 export (tools/train_stage2.py): float32 [-1,1] HWC
+            state["backbone"]["avg_image"] = jnp.asarray(
+                np.load(avg_image_path), jnp.float32)
+        else:
+            from PIL import Image
+            img = np.asarray(Image.open(avg_image_path).convert("RGB"),
+                             np.float32) / 255.0
+            state["backbone"]["avg_image"] = jnp.asarray((img - 0.5) / 0.5)
+        print(f"[init] loaded avg image from {avg_image_path}")
 
     mgr = CheckpointManager(os.path.join(opts.model_root, opts.name))
     from stylegan_for_facerec_tpu.utils.logging import MetricLogger
