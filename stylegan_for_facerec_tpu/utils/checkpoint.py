@@ -108,6 +108,42 @@ def load_metadata(path: str) -> Dict:
         return json.load(f).get("metadata", {})
 
 
+def load_generator_handoff(path: str, decoder_def, want_params,
+                           want_state):
+    """Resolve a stage-2 CLI ``--stylegan_weights`` argument: either a
+    NATIVE stage-1 run directory (``tools/train_stage1.py`` saves
+    ``{"g_ema", "g_state"}``) or a torch ADA-lightning checkpoint
+    (``G.*`` keys — the reference's handoff,
+    ``restyle-encoder/models/psp.py:67-77``).
+
+    Returns ``(decoder_params, decoder_state, source_label)``;
+    ``want_params``/``want_state`` are the freshly-initialized decoder
+    trees (used for a structure check on the native path, and as the
+    state fallback when the run predates g_state saving).
+    """
+    if os.path.isdir(path):
+        ckpt = load_checkpoint(path)
+        if not (isinstance(ckpt, dict) and "g_ema" in ckpt):
+            raise SystemExit(
+                f"{path} is a checkpoint dir but has no 'g_ema' entry — "
+                f"expected a tools/train_stage1.py run dir")
+        p = ckpt["g_ema"]
+        s = ckpt.get("g_state", want_state)
+        want = jax.tree_util.tree_structure(want_params)
+        got = jax.tree_util.tree_structure(p)
+        if want != got:
+            raise SystemExit(
+                "stage-1 g_ema tree does not match this coach's decoder "
+                "(different image_size/z_dim/mapping depth?)")
+        return p, s, "native stage-1 run dir"
+    from .torch_convert import from_torch, load_torch_checkpoint
+    ckpt = load_torch_checkpoint(path)
+    sd = ckpt.get("state_dict", ckpt)
+    g_sd = {k[2:]: v for k, v in sd.items() if k.startswith("G.")}
+    p, s = from_torch(decoder_def, g_sd, strict=False)
+    return p, s, "torch ADA checkpoint"
+
+
 class CheckpointManager:
     """Epoch/step-indexed manager with best-metric tracking — the stage-2
     coach's best_model/iteration_N pattern and stage 3's timestamped

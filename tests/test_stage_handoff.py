@@ -78,3 +78,52 @@ def test_stage3_cli_loads_native_stage2_run_dir(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
     np.testing.assert_array_equal(
         np.asarray(saved["state"]["backbone"]["avg_image"]), avg)
+
+
+def test_stage2_cli_loads_native_stage1_run_dir(tmp_path, rng):
+    """--stylegan_weights pointed at a tools/train_stage1.py run dir must
+    initialize the frozen decoder from g_ema (and its state), closing the
+    native stage-1 -> stage-2 seam (the reference hands off torch ADA
+    ckpts with G.* keys, restyle-encoder/models/psp.py:67-77)."""
+    from PIL import Image
+    from stylegan_for_facerec_tpu.models.stylegan2_ada import Generator
+    from stylegan_for_facerec_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint)
+
+    s1 = tmp_path / "stage1_run"
+    g = Generator(img_resolution=32)        # stage-1 defaults: 512/512/8
+    g_params, g_state = g.init(jax.random.key(123))
+    CheckpointManager(str(s1)).save(
+        1, {"g_ema": g_params, "g_state": g_state})
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for j in range(4):
+        Image.fromarray(
+            (rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            src / f"{j}.jpg")
+
+    exp = tmp_path / "stage2_exp"
+    env = dict(os.environ)
+    env["SGFR_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train_stage2.py"),
+         "--source_root", str(src), "--exp_dir", str(exp),
+         "--output_size", "32", "--batch_size", "2", "--max_steps", "1",
+         "--lpips_lambda", "0", "--n_iters_per_batch", "1",
+         "--stylegan_weights", str(s1)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=840)
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    assert "loaded generator weights (native stage-1 run dir)" \
+        in proc.stdout
+
+    saved = load_checkpoint(str(exp))
+    got = jax.tree_util.tree_leaves(saved["params"]["decoder"])
+    want = jax.tree_util.tree_leaves(g_params)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):   # decoder frozen: transfer is bit-exact
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

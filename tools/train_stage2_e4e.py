@@ -72,15 +72,14 @@ def main():
         jax.random.key(0))
 
     if args.stylegan_weights:
-        from stylegan_for_facerec_tpu.utils.torch_convert import (
-            from_torch, load_torch_checkpoint)
-        ckpt = load_torch_checkpoint(args.stylegan_weights)
-        sd = ckpt.get("state_dict", ckpt)
-        g_sd = {k[2:]: v for k, v in sd.items() if k.startswith("G.")}
-        dec = coach.model._children()["decoder"]
-        p_dec, s_dec = from_torch(dec, g_sd, strict=False)
+        from stylegan_for_facerec_tpu.utils.checkpoint import (
+            load_generator_handoff)
+        p_dec, s_dec, src = load_generator_handoff(
+            args.stylegan_weights, coach.model._children()["decoder"],
+            params["decoder"], state["decoder"])
         params["decoder"] = p_dec
         state["decoder"] = s_dec
+        print(f"[init] loaded generator weights ({src})")
 
     state = coach.estimate_latent_avg(params, state, jax.random.key(1),
                                       n_latent=100_000)
