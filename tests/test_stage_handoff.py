@@ -127,3 +127,41 @@ def test_stage2_cli_loads_native_stage1_run_dir(tmp_path, rng):
     assert len(got) == len(want)
     for a, b in zip(got, want):   # decoder frozen: transfer is bit-exact
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generator_handoff_error_paths(tmp_path):
+    from stylegan_for_facerec_tpu.models.stylegan2_ada import Generator
+    from stylegan_for_facerec_tpu.utils.checkpoint import (
+        CheckpointManager, load_generator_handoff)
+
+    g32 = Generator(img_resolution=32)
+    p32, s32 = g32.init(jax.random.key(0))
+
+    # a dir without g_ema must fail loudly, not KeyError
+    bad = tmp_path / "not_stage1"
+    CheckpointManager(str(bad)).save(1, {"params": {"x": np.zeros(2)}})
+    try:
+        load_generator_handoff(str(bad), g32, p32, s32)
+        raise AssertionError("expected SystemExit")
+    except SystemExit as e:
+        assert "g_ema" in str(e)
+
+    # a mismatched generator config must fail with the friendly message
+    g64 = Generator(img_resolution=64)
+    p64, s64 = g64.init(jax.random.key(1))
+    run64 = tmp_path / "stage1_64"
+    CheckpointManager(str(run64)).save(1, {"g_ema": p64, "g_state": s64})
+    try:
+        load_generator_handoff(str(run64), g32, p32, s32)
+        raise AssertionError("expected SystemExit")
+    except SystemExit as e:
+        assert "does not match" in str(e)
+
+    # the happy path returns the saved tree + label
+    run32 = tmp_path / "stage1_32"
+    CheckpointManager(str(run32)).save(1, {"g_ema": p32, "g_state": s32})
+    p, s, src = load_generator_handoff(str(run32), g32, p32, s32)
+    assert src == "native stage-1 run dir"
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(p32)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
