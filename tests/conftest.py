@@ -7,8 +7,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in-process collectives rendezvous aborts the WHOLE process
+# ("Fatal Python error: Aborted") when one of the 8 device threads is
+# starved past the default terminate timeout — which happens ~1-in-3 full
+# suite runs on this 1-core host (CLAUDE.md gotcha). Raise the rendezvous
+# timeouts so starvation bursts stall instead of killing the run.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=150"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
