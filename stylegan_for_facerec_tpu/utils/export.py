@@ -88,6 +88,46 @@ def export_generator(model, params, state, *, z_dim: int = 512,
     return export_jittable(forward, (spec,), platforms)
 
 
+def export_embedder_sharded(model, params, state, mesh, *,
+                            image_size: int = 112, channels: int = 3,
+                            dtype=jnp.float32,
+                            platforms: Optional[Sequence[str]] = None):
+    """Multi-chip serving export: the batch is sharded over the mesh's
+    ``data`` axis (params replicated), so one artifact drives a whole
+    slice at inference. The batch dimension stays symbolic as
+    ``data_size * b`` — any multiple of the data-axis size. The artifact
+    records the shardings and device count; deserialize it in a process
+    whose backend has ``mesh.devices.size`` devices and call on a
+    committed/sharded input.
+
+    ``platforms`` defaults to the exporting backend only: multi-chip
+    artifacts embed device assignments, so cross-platform lowering is
+    deliberately not defaulted here (export on the target platform)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stylegan_for_facerec_tpu import nn
+
+    n_data = mesh.shape["data"]
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    state = jax.device_put(state, repl)
+
+    def forward(images):
+        emb, _ = model.apply(params, state, images, nn.Ctx(train=False))
+        return emb
+
+    (b,) = jexport.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((n_data * b, image_size, image_size,
+                                 channels), dtype)
+    fwd = jax.jit(forward,
+                  in_shardings=NamedSharding(mesh, P("data")),
+                  out_shardings=NamedSharding(mesh, P("data")))
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    return jexport.export(fwd, **kwargs)(spec)
+
+
 def save_exported(exported, path: str, metadata: Optional[dict] = None):
     """Write the serialized artifact + a human-readable sidecar.
 

@@ -76,6 +76,31 @@ def test_generator_export_roundtrip(tmp_path, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_embedder_export_sharded_roundtrip(tmp_path, embedder, rng,
+                                           devices):
+    """Multi-chip serving artifact: batch sharded over the 8-device mesh,
+    numerics equal to the single-device export."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stylegan_for_facerec_tpu.parallel import make_mesh
+
+    m, p, s = embedder
+    mesh = make_mesh(data=8)
+    exported = exu.export_embedder_sharded(m, p, s, mesh)
+    assert exported.nr_devices == 8
+    # symbolic batch = multiples of the data-axis size
+    assert str(exported.in_avals[0].shape[0]) in ("8*b", "b*8")
+
+    exu.save_exported(exported, str(tmp_path))
+    loaded = exu.load_exported(str(tmp_path))
+
+    x = jnp.asarray(rng.randn(16, 112, 112, 3), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np.asarray(loaded.call(xs))
+    want, _ = m.apply(p, s, x, nn.Ctx(train=False))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_export_cli_end_to_end(tmp_path, embedder, rng):
     """tools/export_model.py: checkpoint dir -> artifact -> same numbers."""
     m, p, s = embedder
