@@ -208,6 +208,7 @@ def main():
     logger = MetricLogger(
         log_dir=os.path.join(opts.model_root, opts.name, "logs"))
     start_epoch = opts.start_epoch
+    resume_step = None  # mid-epoch step to continue from (preempted run)
     if args.resume:
         from stylegan_for_facerec_tpu.utils.checkpoint import (
             load_checkpoint, load_metadata)
@@ -217,8 +218,18 @@ def main():
                 "params": params, "state": state, "opt_state": opt_state})
             params, state, opt_state = (tree["params"], tree["state"],
                                         tree["opt_state"])
-            start_epoch = load_metadata(latest).get("epoch", -1) + 1
-            print(f"[resume] from {latest}, epoch {start_epoch}")
+            meta = load_metadata(latest)
+            if meta.get("preempted"):
+                # emergency mid-epoch save (SIGTERM/SIGINT): continue the
+                # same epoch from the saved global step, skipping the
+                # already-consumed batches
+                start_epoch = meta.get("epoch", 0)
+                resume_step = meta.get("step")
+                print(f"[resume] preempted run {latest}: continuing epoch "
+                      f"{start_epoch} from step {resume_step}")
+            else:
+                start_epoch = meta.get("epoch", -1) + 1
+                print(f"[resume] from {latest}, epoch {start_epoch}")
     # per-benchmark packed pairs named by opts.eval_benchmarks
     # (train.py:134 get_val_data equivalent); missing files are skipped
     from stylegan_for_facerec_tpu.eval import load_val_pair
@@ -230,8 +241,24 @@ def main():
         except FileNotFoundError:
             print(f"[eval] {bench_name} packed data not found; skipping")
 
-    step = start_epoch * steps_per_epoch
+    step = resume_step if resume_step is not None \
+        else start_epoch * steps_per_epoch
     key = jax.random.key(1)
+    # Preemption safety (beyond reference — TPU pods get preempted; the
+    # reference's recovery story is manual restart from the last epoch,
+    # ``train.py:206-232``): on SIGTERM/SIGINT finish the in-flight step,
+    # write an emergency checkpoint tagged mid-epoch, and exit 0.
+    import signal
+    import threading
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        print(f"[preempt] caught signal {signum}; checkpointing after the "
+              "in-flight step", flush=True)
+        stop.set()
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _on_signal)
     from stylegan_for_facerec_tpu.utils.logging import AverageMeter
     for epoch in range(start_epoch, opts.num_epochs):
         # reference freezes while epoch <= FREEZE_BACKBONE_EPOCHS
@@ -244,6 +271,12 @@ def main():
         # epoch AverageMeter aggregates, matching train.py:276-279,347-355
         losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
         batch_iter = iter(loader)
+        if resume_step is not None and epoch == start_epoch:
+            # skip the batches the preempted run already consumed (order
+            # is the loader's; we continue the step count, not the exact
+            # sample sequence)
+            for _ in range(resume_step - start_epoch * steps_per_epoch):
+                next(batch_iter, None)
         if not args.no_prefetch:
             # ship batch k+1 host->device while the device runs batch k
             from stylegan_for_facerec_tpu.parallel import (
@@ -283,8 +316,18 @@ def main():
             step += 1
             if args.max_steps and step >= args.max_steps:
                 break
+            if stop.is_set():
+                break
         if pending is not None:
             drain(pending)
+        if stop.is_set():
+            mgr.save(step, {"params": params, "state": state,
+                            "opt_state": opt_state},
+                     metadata={"epoch": epoch, "step": step,
+                               "preempted": True})
+            print(f"[preempt] emergency checkpoint at step {step} "
+                  f"(epoch {epoch}); resume with --resume", flush=True)
+            return
         dt = time.time() - t0
         # epoch aggregates (train.py:347-355 wandb epoch block)
         logger.log(step, {"train_loss_ep": losses.avg,
