@@ -231,8 +231,9 @@ def test_lpips_cli_conversion_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(float(val), ref, rtol=1e-3, atol=1e-5)
 
 
-def test_stage2_cli_refuses_random_lpips(tmp_path):
-    """tools/train_stage2.py must refuse lpips_lambda>0 with no weights
+@pytest.mark.parametrize("cli", ["train_stage2.py", "train_stage2_e4e.py"])
+def test_stage2_cli_refuses_random_lpips(tmp_path, cli):
+    """Both stage-2 CLIs must refuse lpips_lambda>0 with no weights
     unless --allow_random_lpips (VERDICT r2 weak #5)."""
     import os
     import subprocess
@@ -243,7 +244,7 @@ def test_stage2_cli_refuses_random_lpips(tmp_path):
     env.pop("XLA_FLAGS", None)
     repo = os.path.join(os.path.dirname(__file__), "..")
     proc = subprocess.run(
-        [_sys.executable, os.path.join(repo, "tools", "train_stage2.py"),
+        [_sys.executable, os.path.join(repo, "tools", cli),
          "--source_root", str(tmp_path), "--exp_dir",
          str(tmp_path / "exp")],
         env=env, cwd=repo, stdout=subprocess.PIPE,

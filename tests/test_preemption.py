@@ -1,8 +1,9 @@
-"""Preemption-safe training (beyond reference): SIGTERM mid-epoch must
-produce a clean emergency checkpoint, and --resume must continue the same
-epoch from the saved step. The reference's recovery story is manual
-restart from the last per-epoch save (``train.py:206-232``); TPU pods get
-preempted, so the CLI handles it first-class."""
+"""Preemption-safe training (beyond reference): SIGTERM mid-run must
+produce a clean emergency checkpoint, and --resume must continue from the
+saved step — for ALL FOUR training CLIs (utils/preempt.py). The
+reference's recovery story is manual restart from the last per-epoch save
+(``train.py:206-232``); TPU pods get preempted, so the CLIs handle it
+first-class."""
 
 import json
 import os
@@ -10,6 +11,8 @@ import signal
 import subprocess
 import sys
 import time
+
+import numpy as np
 
 from test_packed_data import _write_packed
 
@@ -87,3 +90,165 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     meta2 = load_metadata(latest2)
     assert latest2 != latest
     assert not meta2.get("preempted")
+
+def _wait_for(path, proc, deadline_s=600):
+    """Wait until ``path`` is non-empty (first completed step evidence)."""
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(
+                "trainer exited before it could be preempted:\n"
+                + proc.stdout.read())
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            return
+        time.sleep(0.2)
+    proc.kill()
+    raise AssertionError(f"{path} did not appear within the deadline")
+
+
+def _make_images(root, n, size, rng):
+    from PIL import Image
+    os.makedirs(root, exist_ok=True)
+    for j in range(n):
+        Image.fromarray(
+            (rng.rand(size, size, 3) * 255).astype(np.uint8)).save(
+            os.path.join(root, f"{j}.jpg"))
+
+
+def _preempt_and_resume(argv, exp_dir, env, wait_path):
+    """SIGTERM a live trainer, assert the emergency checkpoint, resume,
+    assert continuation past the preemption point."""
+    from stylegan_for_facerec_tpu.utils.checkpoint import (CheckpointManager,
+                                                           load_metadata)
+    proc = subprocess.Popen(argv, env=env, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    _wait_for(wait_path, proc)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out
+    assert "[preempt] emergency checkpoint" in out, out
+
+    mgr = CheckpointManager(exp_dir)
+    latest = mgr.latest()
+    meta = load_metadata(latest)
+    assert meta.get("preempted") is True
+    saved_step = meta["step"]
+    assert saved_step >= 1
+
+    proc2 = subprocess.run(
+        argv + ["--resume", "--max_steps", str(saved_step + 2)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=900)
+    assert proc2.returncode == 0, proc2.stdout
+    assert (f"[resume] from {latest}, step {saved_step} (preempted run)"
+            in proc2.stdout), proc2.stdout
+    latest2 = mgr.latest()
+    meta2 = load_metadata(latest2)
+    assert latest2 != latest
+    assert not meta2.get("preempted")
+    assert meta2["step"] == saved_step + 2
+    return proc2.stdout
+
+
+def test_stage2_sigterm_checkpoints_and_resumes(tmp_path, rng):
+    """Stage-2 coach CLI: the emergency checkpoint carries opt_state, and
+    --resume reloads avg_image.npy instead of re-estimating latent_avg."""
+    src = tmp_path / "imgs"
+    _make_images(str(src), 6, 32, rng)
+    exp = str(tmp_path / "exp")
+    argv = [sys.executable, os.path.join(REPO, "tools", "train_stage2.py"),
+            "--source_root", str(src), "--exp_dir", exp,
+            "--output_size", "32", "--batch_size", "2",
+            "--lpips_lambda", "0", "--n_iters_per_batch", "1",
+            "--max_steps", "100000", "--image_interval", "0"]
+    _preempt_and_resume(argv, exp, _cpu_env(),
+                        os.path.join(exp, "logs", "metrics.jsonl"))
+    # resumable: opt_state travels in the checkpoint
+    from stylegan_for_facerec_tpu.utils.checkpoint import (CheckpointManager,
+                                                           load_checkpoint)
+    ckpt = load_checkpoint(CheckpointManager(exp).latest())
+    assert "opt_state" in ckpt
+
+
+def test_e4e_sigterm_checkpoints_and_resumes(tmp_path, rng):
+    """e4e coach CLI: discriminator params + both optimizer states travel
+    in the emergency checkpoint."""
+    src = tmp_path / "imgs"
+    _make_images(str(src), 6, 32, rng)
+    exp = str(tmp_path / "exp")
+    argv = [sys.executable,
+            os.path.join(REPO, "tools", "train_stage2_e4e.py"),
+            "--source_root", str(src), "--exp_dir", exp,
+            "--output_size", "32", "--batch_size", "2",
+            "--lpips_lambda", "0", "--n_iters_per_batch", "1",
+            "--max_steps", "100000", "--image_interval", "0"]
+    _preempt_and_resume(argv, exp, _cpu_env(),
+                        os.path.join(exp, "logs", "metrics.jsonl"))
+    from stylegan_for_facerec_tpu.utils.checkpoint import (CheckpointManager,
+                                                           load_checkpoint)
+    ckpt = load_checkpoint(CheckpointManager(exp).latest())
+    for k in ("opt_state", "d_opt", "d_params"):
+        assert k in ckpt, k
+
+
+def test_stage1_sigterm_checkpoints_and_resumes(tmp_path, rng):
+    """Stage-1 GAN CLI: the FULL trainer state (G/D/EMA/opts/ADA p) is
+    saved on SIGTERM and restored by --resume; the handoff contract
+    (g_ema key present) survives the full-state format."""
+    from stylegan_for_facerec_tpu.utils.checkpoint import (CheckpointManager,
+                                                           load_checkpoint,
+                                                           load_metadata)
+    src = tmp_path / "imgs"
+    _make_images(str(src), 4, 32, rng)
+    exp = str(tmp_path / "exp")
+    cfg = {"image_size": 32, "batch_size": 2, "z_dim": 32, "w_dim": 32,
+           "num_mapping_layers": 2}
+    cfg_path = tmp_path / "s1.json"
+    cfg_path.write_text(json.dumps(cfg))
+    argv = [sys.executable, os.path.join(REPO, "tools", "train_stage1.py"),
+            "--data_root", str(src), "--exp_dir", exp,
+            "--config", str(cfg_path), "--max_steps", "100000"]
+    env = _cpu_env()
+    log = str(tmp_path / "out.log")
+    with open(log, "w") as f:
+        proc = subprocess.Popen(argv, env=env, cwd=REPO, stdout=f,
+                                stderr=subprocess.STDOUT, text=True)
+    # first completed step = the "step 0 ..." log line (float() syncs)
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError("trainer exited early:\n" + open(log).read())
+        if "step 0 " in open(log).read():
+            break
+        time.sleep(0.2)
+    else:
+        proc.kill()
+        raise AssertionError("no step line within the deadline")
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=300)
+    out = open(log).read()
+    assert proc.returncode == 0, out
+    assert "[preempt] emergency checkpoint" in out, out
+
+    mgr = CheckpointManager(exp)
+    latest = mgr.latest()
+    meta = load_metadata(latest)
+    assert meta.get("preempted") is True
+    saved_step = meta["step"]
+    ckpt = load_checkpoint(latest)
+    for k in ("g", "d", "g_ema", "g_state", "opt_g", "opt_d", "ada_p"):
+        assert k in ckpt, k
+
+    proc2 = subprocess.run(
+        argv + ["--resume", "--max_steps", str(saved_step + 1)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=900)
+    assert proc2.returncode == 0, proc2.stdout
+    assert (f"[resume] from {latest}, step {saved_step} (preempted run)"
+            in proc2.stdout), proc2.stdout
+    # the clean exit left a final full-state checkpoint past the
+    # preemption point
+    latest2 = mgr.latest()
+    meta2 = load_metadata(latest2)
+    assert latest2 != latest and not meta2.get("preempted")
+    assert meta2["step"] == saved_step + 1

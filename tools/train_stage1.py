@@ -36,6 +36,9 @@ def main():
                     help="IR-SE-50 checkpoint dir for the FID feature "
                          "space; omitted = random-init features (valid "
                          "for RELATIVE progress within this run only)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in exp_dir "
+                    "(full trainer state: G/D/EMA/optimizers/ADA p + step)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.data.images_dataset import (
@@ -54,6 +57,26 @@ def main():
     ds = InferenceDataset(args.data_root, size=cfg.image_size)
     print(f"[data] {len(ds)} images")
     mgr = CheckpointManager(args.exp_dir)
+    start_step = 0
+    if args.resume:
+        from stylegan_for_facerec_tpu.utils.checkpoint import (
+            load_checkpoint, load_metadata)
+        latest = mgr.latest()
+        if latest is None:
+            raise SystemExit(f"--resume: no checkpoint under {args.exp_dir}")
+        ckpt = load_checkpoint(latest)
+        if "g" not in ckpt:
+            # legacy run dirs saved only the {g_ema, g_state} handoff
+            # subset — not enough to continue training from
+            raise SystemExit(
+                f"{latest} holds only the g_ema handoff subset (a run "
+                "from before full-state saving); it cannot be resumed")
+        state = ckpt
+        meta = load_metadata(latest)
+        start_step = meta.get("step", 0) + \
+            (0 if meta.get("preempted") else 1)
+        print(f"[resume] from {latest}, step {start_step}"
+              + (" (preempted run)" if meta.get("preempted") else ""))
 
     compute_fid = None
     if args.fid_interval > 0:
@@ -111,14 +134,19 @@ def main():
             return embedding_fid(_embed, reals,
                                  np.concatenate(fakes), batch_size=fid_bs)
 
-    step = 0
+    step = start_step
     key = jax.random.key(1)
     max_steps = args.max_steps or cfg.num_epochs * cfg.batches_per_epoch
     if len(ds) < cfg.batch_size:
         raise SystemExit(f"dataset has {len(ds)} images < batch_size "
                          f"{cfg.batch_size}: no full batch can form "
                          f"(the epoch loop would spin forever)")
-    while step < max_steps:
+    # SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit 0
+    # (utils/preempt.py; resume with --resume)
+    from stylegan_for_facerec_tpu.utils.preempt import (
+        install_preemption_handler)
+    stop = install_preemption_handler()
+    while step < max_steps and not stop.is_set():
         order = np.random.permutation(len(ds))
         for i in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
             reals = jnp.asarray(np.stack(
@@ -130,15 +158,26 @@ def main():
                 print(f"step {step} " + " ".join(
                     f"{k2} {float(v):.4f}" for k2, v in logs.items()))
             if step % 2000 == 0 and step > 0:
-                mgr.save(step, {"g_ema": state["g_ema"],
-                                "g_state": state["g_state"]})
+                # FULL trainer state (g/d/opts/ADA p/...), not just the
+                # {g_ema, g_state} handoff subset — every periodic save is
+                # then resumable, and load_generator_handoff still finds
+                # its g_ema key
+                mgr.save(step, state)
             if (compute_fid is not None and step > 0
                     and step % args.fid_interval == 0):
                 key, kf = jax.random.split(key)
                 print(f"step {step} fid512 {compute_fid(state, kf):.3f}")
             step += 1
-            if step >= max_steps:
+            if step >= max_steps or stop.is_set():
                 break
+    if stop.is_set():
+        mgr.save(step, state, metadata={"preempted": True})
+        print(f"[preempt] emergency checkpoint at step {step}; resume "
+              "with --resume", flush=True)
+        return
+    # final save so short runs always leave a loadable (and resumable)
+    # checkpoint, like the other three training CLIs
+    mgr.save(step, state)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,10 @@ def main():
                     "(coach_restyle_psp.py:192-214)")
     ap.add_argument("--val_interval", type=int, default=1000)
     ap.add_argument("--val_max_batches", type=int, default=20)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in exp_dir "
+                    "(params/state/optimizer + step; avg_image.npy is "
+                    "reloaded instead of re-estimated)")
     ap.add_argument("--allow_random_lpips", action="store_true",
                     help="proceed with RANDOM-init LPIPS features when no "
                     "--lpips_weights is given (debug only: with the "
@@ -88,7 +92,30 @@ def main():
     coach = Stage2Coach(cfg, lpips_fn=lpips_fn)
     params, state, opt_state = coach.init(jax.random.key(0))
 
-    if args.stylegan_weights:
+    os.makedirs(args.exp_dir, exist_ok=True)
+    mgr = CheckpointManager(args.exp_dir)
+    start_step = 0
+    if args.resume:
+        from stylegan_for_facerec_tpu.utils.checkpoint import load_metadata
+        latest = mgr.latest()
+        if latest is None:
+            raise SystemExit(f"--resume: no checkpoint under {args.exp_dir}")
+        ckpt = load_checkpoint(latest)
+        params, state = ckpt["params"], ckpt["state"]
+        if "opt_state" in ckpt:
+            opt_state = ckpt["opt_state"]
+        else:
+            print("[resume] checkpoint predates opt_state saving; "
+                  "optimizer slots reinitialized")
+        meta = load_metadata(latest)
+        # a preempted save is labeled with the NEXT step to run; a
+        # periodic save is labeled with the step it completed
+        start_step = meta.get("step", 0) + \
+            (0 if meta.get("preempted") else 1)
+        print(f"[resume] from {latest}, step {start_step}"
+              + (" (preempted run)" if meta.get("preempted") else ""))
+
+    if not args.resume and args.stylegan_weights:
         from stylegan_for_facerec_tpu.utils.checkpoint import (
             load_generator_handoff)
         p_dec, s_dec, src = load_generator_handoff(
@@ -98,17 +125,24 @@ def main():
         state["decoder"] = s_dec
         print(f"[init] loaded generator weights ({src})")
 
-    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
-                                      n_latent=100_000)
-    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
-    os.makedirs(args.exp_dir, exist_ok=True)
-    np.save(os.path.join(args.exp_dir, "avg_image.npy"),
-            np.asarray(avg_image))
+    if args.resume:
+        # latent_avg lives in the restored state; the matching avg_image
+        # was exported by the original run
+        avg_path = os.path.join(args.exp_dir, "avg_image.npy")
+        if not os.path.exists(avg_path):
+            raise SystemExit(f"--resume: {avg_path} missing (exported at "
+                             "the start of the original run)")
+        avg_image = jnp.asarray(np.load(avg_path))
+    else:
+        state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                          n_latent=100_000)
+        avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+        np.save(os.path.join(args.exp_dir, "avg_image.npy"),
+                np.asarray(avg_image))
 
     ds = ImagesDataset(args.source_root,
                        args.target_root or args.source_root)
     print(f"[data] {len(ds)} pairs")
-    mgr = CheckpointManager(args.exp_dir)
     from stylegan_for_facerec_tpu.eval.inference import face_grid
     from stylegan_for_facerec_tpu.utils.logging import MetricLogger
     logger = MetricLogger(log_dir=os.path.join(args.exp_dir, "logs"))
@@ -132,18 +166,23 @@ def main():
             logger.log(step, logs, prefix="val/")
         return logs.get("loss")
 
-    step = 0
+    step = start_step
     if len(ds) < args.batch_size:
         raise SystemExit(f"dataset has {len(ds)} pairs < batch_size "
                          f"{args.batch_size}: no full batch can form "
                          f"(the epoch loop would spin forever)")
+    # SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit 0
+    # (utils/preempt.py; resume with --resume)
+    from stylegan_for_facerec_tpu.utils.preempt import (
+        install_preemption_handler)
+    stop = install_preemption_handler()
     key = jax.random.key(3)
-    if val_ds is not None:
+    if val_ds is not None and not args.resume:
         # step-0 sanity validation, metrics discarded ("inaccurate in
         # first batch", coach_restyle_psp.py:247-250)
         coach.validate(params, state, val_batches(), avg_image,
                        jax.random.key(7), max_batches=5)
-    while step < args.max_steps:
+    while step < args.max_steps and not stop.is_set():
         order = np.random.permutation(len(ds))
         for i in range(0, len(order) - args.batch_size + 1,
                        args.batch_size):
@@ -172,16 +211,26 @@ def main():
                 # without a val set, use train loss — but never mix the
                 # two: the train loss is summed over n_iters_per_batch
                 # refinement iterations and is not comparable
-                mgr.save(step, {"params": params, "state": state},
+                mgr.save(step, {"params": params, "state": state,
+                                "opt_state": opt_state},
                          metric=(val_loss if val_loss is not None
                                  else (float(loss) if val_ds is None
                                        else None)))
             step += 1
-            if step >= args.max_steps:
+            if step >= args.max_steps or stop.is_set():
                 break
+    if stop.is_set():
+        mgr.save(step, {"params": params, "state": state,
+                        "opt_state": opt_state},
+                 metadata={"preempted": True})
+        print(f"[preempt] emergency checkpoint at step {step}; resume "
+              "with --resume", flush=True)
+        logger.close()
+        return
     # final save so short runs (and clean exits) always leave a loadable
     # checkpoint (the reference saves a last iteration_N.pt on exit)
-    mgr.save(step, {"params": params, "state": state})
+    mgr.save(step, {"params": params, "state": state,
+                    "opt_state": opt_state})
     logger.close()
 
 

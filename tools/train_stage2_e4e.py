@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--val_root", default=None)
     ap.add_argument("--val_interval", type=int, default=1000)
     ap.add_argument("--val_max_batches", type=int, default=20)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in exp_dir "
+                    "(params/state/optimizers/discriminator + step; "
+                    "avg_image.npy is reloaded instead of re-estimated)")
+    ap.add_argument("--allow_random_lpips", action="store_true",
+                    help="proceed with RANDOM-init LPIPS features when no "
+                    "--lpips_weights is given (debug only)")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu import nn
@@ -53,9 +60,20 @@ def main():
         lp = LPIPS()
         if args.lpips_weights:
             lpp = load_checkpoint(args.lpips_weights)
-        else:
-            print("[warn] no --lpips_weights; using random-init LPIPS")
+        elif args.allow_random_lpips:
+            print("[warn] --allow_random_lpips: using RANDOM-init LPIPS "
+                  "features (debug only)")
             lpp, _ = lp.init(jax.random.key(99))
+        else:
+            # same guard as tools/train_stage2.py: the reference
+            # auto-downloads these weights (criteria/lpips/utils.py:11-30);
+            # offline, silently training against random features would
+            # dominate the loss at the recipe's lpips_lambda
+            raise SystemExit(
+                "lpips_lambda > 0 but no --lpips_weights given. Convert "
+                "the torch weights once with tools/convert_checkpoint.py "
+                "lpips, or pass --lpips_lambda 0, or opt in with "
+                "--allow_random_lpips (debug only).")
         lpips_fn = lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0]
 
     cfg = E4eConfig(output_size=args.output_size,
@@ -71,7 +89,29 @@ def main():
     params, state, opt_state, d_params, d_opt = coach.init(
         jax.random.key(0))
 
-    if args.stylegan_weights:
+    os.makedirs(args.exp_dir, exist_ok=True)
+    mgr = CheckpointManager(args.exp_dir)
+    start_step = 0
+    if args.resume:
+        from stylegan_for_facerec_tpu.utils.checkpoint import load_metadata
+        latest = mgr.latest()
+        if latest is None:
+            raise SystemExit(f"--resume: no checkpoint under {args.exp_dir}")
+        ckpt = load_checkpoint(latest)
+        params, state = ckpt["params"], ckpt["state"]
+        d_params = ckpt.get("d_params", d_params)
+        if "opt_state" in ckpt:
+            opt_state, d_opt = ckpt["opt_state"], ckpt["d_opt"]
+        else:
+            print("[resume] checkpoint predates optimizer saving; "
+                  "optimizer slots reinitialized")
+        meta = load_metadata(latest)
+        start_step = meta.get("step", 0) + \
+            (0 if meta.get("preempted") else 1)
+        print(f"[resume] from {latest}, step {start_step}"
+              + (" (preempted run)" if meta.get("preempted") else ""))
+
+    if not args.resume and args.stylegan_weights:
         from stylegan_for_facerec_tpu.utils.checkpoint import (
             load_generator_handoff)
         p_dec, s_dec, src = load_generator_handoff(
@@ -81,17 +121,22 @@ def main():
         state["decoder"] = s_dec
         print(f"[init] loaded generator weights ({src})")
 
-    state = coach.estimate_latent_avg(params, state, jax.random.key(1),
-                                      n_latent=100_000)
-    avg_image = coach.make_avg_image(params, state, jax.random.key(2))
-    os.makedirs(args.exp_dir, exist_ok=True)
-    np.save(os.path.join(args.exp_dir, "avg_image.npy"),
-            np.asarray(avg_image))
+    if args.resume:
+        avg_path = os.path.join(args.exp_dir, "avg_image.npy")
+        if not os.path.exists(avg_path):
+            raise SystemExit(f"--resume: {avg_path} missing (exported at "
+                             "the start of the original run)")
+        avg_image = jnp.asarray(np.load(avg_path))
+    else:
+        state = coach.estimate_latent_avg(params, state, jax.random.key(1),
+                                          n_latent=100_000)
+        avg_image = coach.make_avg_image(params, state, jax.random.key(2))
+        np.save(os.path.join(args.exp_dir, "avg_image.npy"),
+                np.asarray(avg_image))
 
     ds = ImagesDataset(args.source_root,
                        args.target_root or args.source_root)
     print(f"[data] {len(ds)} pairs")
-    mgr = CheckpointManager(args.exp_dir)
     from stylegan_for_facerec_tpu.eval.inference import face_grid
     from stylegan_for_facerec_tpu.utils.logging import MetricLogger
     logger = MetricLogger(log_dir=os.path.join(args.exp_dir, "logs"))
@@ -108,14 +153,19 @@ def main():
             yield (jnp.asarray(np.stack([b[0] for b in items])),
                    jnp.asarray(np.stack([b[1] for b in items])))
 
-    step = 0
+    step = start_step
     if len(ds) < args.batch_size:
         raise SystemExit(f"dataset has {len(ds)} pairs < batch_size "
                          f"{args.batch_size}: no full batch can form "
                          f"(the epoch loop would spin forever)")
+    # SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit 0
+    # (utils/preempt.py; resume with --resume)
+    from stylegan_for_facerec_tpu.utils.preempt import (
+        install_preemption_handler)
+    stop = install_preemption_handler()
     cur_stage = -1
     key = jax.random.key(3)
-    while step < args.max_steps:
+    while step < args.max_steps and not stop.is_set():
         order = np.random.permutation(len(ds))
         for i in range(0, len(order) - args.batch_size + 1,
                        args.batch_size):
@@ -165,15 +215,25 @@ def main():
                 # val set exists, train loss otherwise (train loss sums
                 # refinement iterations — not comparable with val loss)
                 mgr.save(step, {"params": params, "state": state,
-                                "d_params": d_params},
+                                "d_params": d_params,
+                                "opt_state": opt_state, "d_opt": d_opt},
                          metric=(val_loss if val_loss is not None
                                  else (float(loss) if val_ds is None
                                        else None)))
             step += 1
-            if step >= args.max_steps:
+            if step >= args.max_steps or stop.is_set():
                 break
-    mgr.save(step, {"params": params, "state": state,
-                    "d_params": d_params})
+    if stop.is_set():
+        mgr.save(step, {"params": params, "state": state,
+                        "d_params": d_params,
+                        "opt_state": opt_state, "d_opt": d_opt},
+                 metadata={"preempted": True})
+        print(f"[preempt] emergency checkpoint at step {step}; resume "
+              "with --resume", flush=True)
+        logger.close()
+        return
+    mgr.save(step, {"params": params, "state": state, "d_params": d_params,
+                    "opt_state": opt_state, "d_opt": d_opt})
     logger.close()
 
 

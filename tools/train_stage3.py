@@ -244,21 +244,12 @@ def main():
     step = resume_step if resume_step is not None \
         else start_epoch * steps_per_epoch
     key = jax.random.key(1)
-    # Preemption safety (beyond reference — TPU pods get preempted; the
-    # reference's recovery story is manual restart from the last epoch,
-    # ``train.py:206-232``): on SIGTERM/SIGINT finish the in-flight step,
-    # write an emergency checkpoint tagged mid-epoch, and exit 0.
-    import signal
-    import threading
-    stop = threading.Event()
-
-    def _on_signal(signum, frame):
-        print(f"[preempt] caught signal {signum}; checkpointing after the "
-              "in-flight step", flush=True)
-        stop.set()
-
-    for _sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(_sig, _on_signal)
+    # Preemption safety: SIGTERM/SIGINT -> finish the in-flight step,
+    # write an emergency checkpoint tagged mid-epoch, exit 0
+    # (utils/preempt.py).
+    from stylegan_for_facerec_tpu.utils.preempt import (
+        install_preemption_handler)
+    stop = install_preemption_handler()
     from stylegan_for_facerec_tpu.utils.logging import AverageMeter
     for epoch in range(start_epoch, opts.num_epochs):
         # reference freezes while epoch <= FREEZE_BACKBONE_EPOCHS
