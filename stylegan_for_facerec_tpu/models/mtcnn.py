@@ -11,7 +11,9 @@ port).
 TPU-native split: the three conv nets run as jitted NHWC JAX functions
 (pretrained weights vendored as the public .npy dicts the reference ships);
 pyramid building, NMS, box math, and the final cv2 warp stay host-side
-numpy exactly as upstream.
+numpy. The box math is restructured here (vectorized all-pairs NMS,
+clip-algebra correct_bboxes) but reproduces box_utils.py numerics exactly
+— oracle tests pin parity against the upstream module.
 """
 
 from __future__ import annotations
@@ -150,82 +152,91 @@ def onet_apply(weights: dict, x: jax.Array):
 # Host-side box math (box_utils.py parity)
 # ---------------------------------------------------------------------------
 
+def _pairwise_overlap(boxes: np.ndarray, mode: str) -> np.ndarray:
+    """All-pairs overlap matrix for (x1, y1, x2, y2[, ...]) rows under the
+    MTCNN +1-inclusive pixel-area convention. mode 'union' = IoU;
+    'min' = intersection over the smaller area."""
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    iw = np.minimum(x2[:, None], x2[None, :]) \
+        - np.maximum(x1[:, None], x1[None, :]) + 1.0
+    ih = np.minimum(y2[:, None], y2[None, :]) \
+        - np.maximum(y1[:, None], y1[None, :]) + 1.0
+    inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+    if mode == "min":
+        return inter / np.minimum(area[:, None], area[None, :])
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
 def nms(boxes: np.ndarray, overlap_threshold: float = 0.5,
         mode: str = "union") -> List[int]:
-    """``box_utils.py:5-68``."""
-    if len(boxes) == 0:
+    """Greedy non-maximum suppression; selection semantics match
+    ``box_utils.py:5-68`` (descending-score greedy pick, suppress strictly
+    ``overlap > threshold``, same +1-inclusive areas and tie order).
+    Formulated as one vectorized all-pairs overlap matrix plus an alive
+    mask instead of upstream's per-pick re-slicing — candidate counts after
+    thresholding are small, so the O(n^2) matrix is cheaper than n passes
+    of fancy indexing."""
+    n = len(boxes)
+    if n == 0:
         return []
-    pick = []
-    x1, y1, x2, y2, score = [boxes[:, i] for i in range(5)]
-    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-    ids = np.argsort(score)
-    while len(ids) > 0:
-        last = len(ids) - 1
-        i = ids[last]
-        pick.append(i)
-        ix1 = np.maximum(x1[i], x1[ids[:last]])
-        iy1 = np.maximum(y1[i], y1[ids[:last]])
-        ix2 = np.minimum(x2[i], x2[ids[:last]])
-        iy2 = np.minimum(y2[i], y2[ids[:last]])
-        w = np.maximum(0.0, ix2 - ix1 + 1.0)
-        h = np.maximum(0.0, iy2 - iy1 + 1.0)
-        inter = w * h
-        if mode == "min":
-            overlap = inter / np.minimum(area[i], area[ids[:last]])
-        else:
-            overlap = inter / (area[i] + area[ids[:last]] - inter)
-        ids = np.delete(ids, np.concatenate(
-            [[last], np.where(overlap > overlap_threshold)[0]]))
+    overlap = _pairwise_overlap(boxes, mode)
+    # np.argsort ascending traversed back-to-front == upstream's pick order
+    order = np.argsort(boxes[:, 4])[::-1]
+    alive = np.ones(n, dtype=bool)
+    pick: List[int] = []
+    for i in order:
+        if not alive[i]:
+            continue
+        pick.append(int(i))
+        alive &= overlap[i] <= overlap_threshold
     return pick
 
 
 def convert_to_square(bboxes: np.ndarray) -> np.ndarray:
-    """``box_utils.py:71-91``."""
-    square = np.zeros_like(bboxes)
-    x1, y1, x2, y2 = [bboxes[:, i] for i in range(4)]
-    h = y2 - y1 + 1.0
+    """Expand each box to the enclosing square about its center
+    (semantics of ``box_utils.py:71-91``; score/extra columns return
+    zeroed — every caller reassigns them from the next stage's probs)."""
+    x1, y1, x2, y2 = (bboxes[:, i] for i in range(4))
     w = x2 - x1 + 1.0
-    max_side = np.maximum(h, w)
-    square[:, 0] = x1 + w * 0.5 - max_side * 0.5
-    square[:, 1] = y1 + h * 0.5 - max_side * 0.5
-    square[:, 2] = square[:, 0] + max_side - 1.0
-    square[:, 3] = square[:, 1] + max_side - 1.0
-    # note: upstream leaves the score column zeroed here; it is always
-    # reassigned from the next stage's probs before use
+    h = y2 - y1 + 1.0
+    side = np.maximum(h, w)
+    sx1 = x1 + w * 0.5 - side * 0.5
+    sy1 = y1 + h * 0.5 - side * 0.5
+    square = np.zeros_like(bboxes)
+    square[:, :4] = np.stack(
+        [sx1, sy1, sx1 + side - 1.0, sy1 + side - 1.0], axis=1)
     return square
 
 
 def calibrate_box(bboxes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """``box_utils.py:94-124``."""
-    x1, y1, x2, y2 = [bboxes[:, i] for i in range(4)]
-    w = np.expand_dims(x2 - x1 + 1.0, 1)
-    h = np.expand_dims(y2 - y1 + 1.0, 1)
-    translation = np.hstack([w, h, w, h]) * offsets
-    bboxes = bboxes.copy()
-    bboxes[:, 0:4] = bboxes[:, 0:4] + translation
-    return bboxes
+    """Apply the regression offsets, scaled by box width/height
+    (semantics of ``box_utils.py:94-124``)."""
+    sizes = bboxes[:, 2:4] - bboxes[:, 0:2] + 1.0   # (n, 2) = (w, h)
+    out = bboxes.copy()
+    out[:, :4] += np.tile(sizes, 2) * offsets
+    return out
 
 
 def correct_bboxes(bboxes, width, height):
-    """``box_utils.py:162-223``: clip boxes, return crop bookkeeping."""
-    x1, y1, x2, y2 = [bboxes[:, i] for i in range(4)]
-    w, h = x2 - x1 + 1.0, y2 - y1 + 1.0
-    num = bboxes.shape[0]
-    x, y, ex, ey = x1.copy(), y1.copy(), x2.copy(), y2.copy()
-    dx, dy = np.zeros(num), np.zeros(num)
-    edx, edy = w.copy() - 1.0, h.copy() - 1.0
-    ind = ex > width - 1.0
-    edx[ind] = w[ind] + width - 2.0 - ex[ind]
-    ex[ind] = width - 1.0
-    ind = ey > height - 1.0
-    edy[ind] = h[ind] + height - 2.0 - ey[ind]
-    ey[ind] = height - 1.0
-    ind = x < 0.0
-    dx[ind] = 0.0 - x[ind]
-    x[ind] = 0.0
-    ind = y < 0.0
-    dy[ind] = 0.0 - y[ind]
-    y[ind] = 0.0
+    """Clip boxes to the image and return the crop/paste bookkeeping the
+    cropper needs (semantics of ``box_utils.py:162-223``). Returns int32
+    [dy, edy, dx, edx, y, ey, x, ex, w, h]: (x..ex, y..ey) is the clipped
+    source window, (dx..edx, dy..edy) its destination inside the w x h
+    padded crop. Upstream mutates via boolean masks; clip/offset algebra
+    is equivalent: e.g. edx = (w-1) + (min(ex, width-1) - ex) collapses
+    its conditional ``w + width - 2 - ex`` branch."""
+    x1, y1, x2, y2 = (bboxes[:, i] for i in range(4))
+    w = x2 - x1 + 1.0
+    h = y2 - y1 + 1.0
+    x = np.maximum(x1, 0.0)
+    y = np.maximum(y1, 0.0)
+    ex = np.minimum(x2, width - 1.0)
+    ey = np.minimum(y2, height - 1.0)
+    dx = x - x1
+    dy = y - y1
+    edx = (w - 1.0) + (ex - x2)
+    edy = (h - 1.0) + (ey - y2)
     return [v.astype("int32") for v in
             [dy, edy, dx, edx, y, ey, x, ex, w, h]]
 

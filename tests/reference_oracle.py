@@ -104,6 +104,25 @@ def install_dep_stubs():
             sys.modules["imageio"] = im
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def cuda_noop():
+    """Run a reference module that hardcodes ``.cuda()`` (e.g. NPCFace,
+    head/metrics.py:622) on CPU torch by making the device moves no-ops.
+    Scoped: restores the real methods on exit so other oracle tests keep
+    honest device semantics."""
+    import torch
+    saved = (torch.Tensor.cuda, torch.nn.Module.cuda)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda, torch.nn.Module.cuda = saved
+
+
 def install_stylegan2_op_stub():
     """The reference's ``backbone.stylegan2.op`` JIT-compiles CUDA at import
     (op/upfirdn2d.py:8-14) and cannot load on CPU. Register a pure-torch

@@ -8,7 +8,7 @@ import torch
 
 from stylegan_for_facerec_tpu import nn
 from stylegan_for_facerec_tpu.models import heads_extra as hx
-from reference_oracle import ref_import
+from reference_oracle import cuda_noop, ref_import
 
 
 @pytest.fixture(scope="module")
@@ -90,10 +90,28 @@ def test_mv_softmax_parity(ref_heads, is_am, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_npcface_parity(ref_heads, rng):
+    """True-numerics oracle: the reference NPCFace hardcodes .cuda() in
+    forward (metrics.py:622); cuda_noop() patches the device move to a
+    no-op so its real math runs on CPU torch. Two distinct batches to
+    exercise both branches of the hard-mask average (VERDICT r3 next #5)."""
+    th, params = _pair(ref_heads.NPCFace, None)
+    jh = hx.NPCFace(32, 20)
+    for seed in (0, 1):
+        r = np.random.RandomState(seed)
+        feats, labels = _data(r)
+        with cuda_noop(), torch.no_grad():
+            want = th(torch.tensor(feats), torch.tensor(labels)).numpy()
+        got, _ = jh.apply(params, {},
+                          (jnp.asarray(feats), jnp.asarray(labels)),
+                          nn.Ctx())
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_npcface_semantics(rng):
-    """The reference NPCFace hardcodes .cuda() in forward (metrics.py:622)
-    so no CPU oracle; check the margin semantics directly: target column
-    gets the cooperative margin, hard negatives get t*cos+a."""
+    """Margin semantics sanity (kept alongside the oracle test): target
+    column gets the cooperative margin, hard negatives get t*cos+a."""
     jh = hx.NPCFace(32, 20)
     params, _ = jh.init(jax.random.key(0))
     feats, labels = _data(rng)
