@@ -119,13 +119,15 @@ def attach_last_good(result, path=_LAST_GOOD_PATH):
     return result
 
 
-def run_with_retries(argv, attempts=None, backoff_s=15.0, timeout_s=3000.0,
+def run_with_retries(argv, attempts=None, backoff_s=15.0, timeout_s=None,
                      runner=None):
     """Run the measurement child until one attempt yields a JSON line.
     ``runner(argv, env, timeout)`` -> (rc, stdout_text, stderr_tail) is
     injectable for fault-injection tests."""
     if attempts is None:   # the knob the module docstring documents
         attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    if timeout_s is None:  # must exceed BENCH_BUDGET_S + final-phase slack
+        timeout_s = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "3600"))
     if runner is None:
         def runner(argv, env, timeout):
             # capture stdout (for the JSON line); TEE stderr — stream it
@@ -281,30 +283,35 @@ def _bench_synthesis(extras, budget_left=None):
     with software integer hashing while 'rbg' uses the TPU hardware RNG
     (the apples-to-apples analog of the reference's cuRAND
     ``torch.randn``, ``stylegan2_ada/generator.py:196-199``). The winner
-    stays active for the downstream phases (inversion runs the same
-    synthesis stack). The second impl is skipped when the remaining
-    bench budget is thin — the A/B must never starve the downstream
-    extras of compile time."""
+    is recorded in extras; ``main`` deliberately re-applies it for the
+    downstream phases (inversion runs the same synthesis stack). The
+    config change here is scoped with try/finally so the helper itself
+    has no side effect (ADVICE r3 #5). The second impl is skipped when
+    the remaining bench budget is thin — the A/B must never starve the
+    downstream extras of compile time."""
     import jax
 
     results = {}
-    for impl in ("threefry2x32", "rbg"):
-        if (impl != "threefry2x32" and results and budget_left is not None
-                and budget_left() < 1200):
-            _log(f"  synthesis[{impl}] skipped: budget "
-                 f"{budget_left():.0f}s left")
-            break
-        try:
-            jax.config.update("jax_default_prng_impl", impl)
-            results[impl] = _measure_synthesis(extras)
-        except Exception as e:  # noqa: BLE001 — impl unsupported: skip
-            _log(f"  synthesis[{impl}] failed: {e!r}")
-        extras[f"synthesis_{impl}_imgs_per_sec"] = round(
-            results.get(impl, 0.0), 1)
+    prev_impl = jax.config.jax_default_prng_impl
+    try:
+        for impl in ("threefry2x32", "rbg"):
+            if (impl != "threefry2x32" and results
+                    and budget_left is not None and budget_left() < 1200):
+                _log(f"  synthesis[{impl}] skipped: budget "
+                     f"{budget_left():.0f}s left")
+                break
+            try:
+                jax.config.update("jax_default_prng_impl", impl)
+                results[impl] = _measure_synthesis(extras)
+            except Exception as e:  # noqa: BLE001 — impl unsupported
+                _log(f"  synthesis[{impl}] failed: {e!r}")
+            extras[f"synthesis_{impl}_imgs_per_sec"] = round(
+                results.get(impl, 0.0), 1)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev_impl)
     if not results:
         raise RuntimeError("synthesis failed under every PRNG impl")
     best = max(results, key=results.get)
-    jax.config.update("jax_default_prng_impl", best)
     extras["synthesis_prng_impl"] = best
     return results[best]
 
@@ -597,6 +604,92 @@ def _bench_e2e_train(extras):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_stage2_coach(extras):
+    """Stage-2 ReStyle coach train-step throughput (VERDICT r3 next #1:
+    fold the round-3 ad-hoc 867 imgs/s measurement into the recurring
+    artifact). The full coach step of
+    ``restyle-encoder/training/coach_restyle_psp.py:138-180``: pSp
+    encoder + 256 ADA generator forward+backward, LPIPS-alex loss at
+    112px, Ranger update, n_iters_per_batch=1, bf16 compute — timed
+    on-device via scan-delta. LPIPS features are random-init (timing is
+    weight-independent; training CLIs refuse random LPIPS)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.losses import LPIPS
+    from stylegan_for_facerec_tpu.train import Stage2Config, Stage2Coach
+
+    bs = int(os.environ.get("BENCH_STAGE2_BATCH", "128"))
+    lp = LPIPS()
+    lpp, _ = lp.init(jax.random.key(99))
+    cfg = Stage2Config(output_size=256, n_iters_per_batch=1,
+                       l2_lambda=1.0, lpips_lambda=0.8)
+    coach = Stage2Coach(
+        cfg, lpips_fn=lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0])
+    params, state, opt_state = coach.init(jax.random.key(12))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(13),
+                                      n_latent=4096)
+    avg_image = coach.make_avg_image(params, state, jax.random.key(14))
+    x = jnp.asarray(
+        np.random.RandomState(5).randn(bs, 112, 112, 3).clip(-1, 1),
+        jnp.float32)
+    rng = jax.random.key(15)
+    trainable = coach._trainable(params)
+
+    def step(carry, cs):
+        tr, st, opt = carry
+        full, xb, avg = cs
+        tr, st, opt, _, _, _ = coach._train_step(tr, full, st, opt,
+                                                 xb, xb, avg, rng)
+        return (tr, st, opt)
+
+    dt = _scan_time_per_iter(step, (trainable, state, opt_state),
+                             short=1, long=4, consts=(params, x, avg_image))
+    extras["stage2_coach_imgs_per_sec"] = round(bs / dt, 1)
+    extras["stage2_coach_batch"] = bs
+
+
+def _bench_spatial_synthesis(extras, res=1024, bs=1):
+    """Spatially-sharded high-res synthesis (VERDICT r3 next #1): batch-1
+    image with the synthesis pyramid's HEIGHT sharded over every local
+    device via ``parallel.spatial.spatial_shard_fn`` (on the single bench
+    chip this degenerates to 1-way, but the sharded code path — Ctx
+    hooks, with_sharding_constraint per block — is what's measured and
+    pinned). Beyond-reference capability; see parallel/spatial.py."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.models import stylegan2_ada
+    from stylegan_for_facerec_tpu.parallel.spatial import spatial_shard_fn
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(len(devs), 1), ("data", "model"))
+    shard = spatial_shard_fn(mesh, "data")
+    g = stylegan2_ada.Generator(img_resolution=res)
+    gp, gs = g.init(jax.random.key(20))
+    gp = nn.cast_floats(gp, jnp.bfloat16)
+    gs = nn.cast_floats(gs, jnp.bfloat16)
+    key = jax.random.key(21)
+
+    def synth_step(z, cs):
+        p, s = cs
+        img, _ = g.apply(p, s, z, nn.Ctx(train=False, rng=key,
+                                         shard_fn=shard),
+                         noise_mode="random")
+        return z + 1e-6 * jnp.mean(img, axis=(1, 2))[:, :3].sum() \
+            * jnp.ones_like(z)
+
+    z0 = jnp.asarray(np.random.RandomState(6).randn(bs, 512), jnp.bfloat16)
+    dt = _scan_time_per_iter(synth_step, z0, short=1, long=5,
+                             consts=(gp, gs))
+    extras["spatial_synthesis_res"] = res
+    extras["spatial_synthesis_ways"] = len(devs)
+    extras["spatial_synthesis_imgs_per_sec"] = round(bs / dt, 2)
+
+
 def _train_step_flops(trainer, params, state, opt_state, images, labels,
                       rng, step0):
     import jax
@@ -685,7 +778,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     t_start = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
     extras = {"dtype": "bfloat16"}
     errors = {}
 
@@ -708,17 +801,29 @@ def main():
             errors["synthesis"] = repr(e)[-300:]
             time.sleep(5)
 
-    # extras are best-effort and budget-bounded: never lose the primary
-    # JSON line to a failure or cold compile here
+    # downstream phases run under the synthesis A/B winner, applied HERE
+    # deliberately (not leaked from the helper — ADVICE r3 #5) and
+    # recorded so the artifact states which PRNG the extras used
+    if extras.get("synthesis_prng_impl"):
+        jax.config.update("jax_default_prng_impl",
+                          extras["synthesis_prng_impl"])
+        extras["downstream_prng_impl"] = extras["synthesis_prng_impl"]
 
-    for name, fn in (
-            ("embed", _bench_embed),
-            ("inversion5", lambda ex: _bench_inversion(ex, 5)),
-            ("inversion1", lambda ex: _bench_inversion(ex, 1)),
-            ("train", _bench_arcface_train),
-            ("e2e_train", _bench_e2e_train),
-            ("data_pipeline", _bench_data_pipeline)):
-        if budget_left() < 240:
+    # extras are best-effort and budget-bounded: never lose the primary
+    # JSON line to a failure or cold compile here. The per-phase floor is
+    # a compile-time estimate: stage-2's encoder+generator backward is
+    # the biggest graph in the repo (>10 min cold TPU compile) and must
+    # not start on a nearly-spent budget.
+    for name, fn, min_budget in (
+            ("embed", _bench_embed, 240),
+            ("inversion5", lambda ex: _bench_inversion(ex, 5), 240),
+            ("inversion1", lambda ex: _bench_inversion(ex, 1), 240),
+            ("train", _bench_arcface_train, 300),
+            ("e2e_train", _bench_e2e_train, 300),
+            ("spatial_synthesis", _bench_spatial_synthesis, 300),
+            ("stage2_coach", _bench_stage2_coach, 600),
+            ("data_pipeline", _bench_data_pipeline, 120)):
+        if budget_left() < min_budget:
             errors[name] = "skipped: bench budget exhausted"
             continue
         try:

@@ -179,6 +179,11 @@ class Stage2Coach:
         iteration's outputs are cast back to f32 for the losses."""
         cfg = self.cfg
         params = self._merge(params, trainable)
+        # losses are computed in f32 against the ORIGINAL source: keep an
+        # f32 view of x for _calc_loss and cast only the network input
+        # (ADVICE r3 #3 — previously the bf16-truncated x leaked into the
+        # L2/ID loss terms)
+        x_loss = x.astype(jnp.float32)
         if cfg.compute_dtype == "bfloat16":
             from ..nn import cast_floats
             params = cast_floats(params, jnp.bfloat16)
@@ -205,7 +210,7 @@ class Stage2Coach:
                 randomize_noise=True, return_latents=True)
             y_hat = resize_bilinear(out, cfg.target_size,
                                     cfg.target_size).astype(jnp.float32)
-            loss, logs = self._calc_loss(y_hat, y, x,
+            loss, logs = self._calc_loss(y_hat, y, x_loss,
                                          latent.astype(jnp.float32),
                                          latent_avg, d_params)
             total = total + loss

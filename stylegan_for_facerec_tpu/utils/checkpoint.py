@@ -45,17 +45,27 @@ def save_checkpoint(path: str, tree: Any,
         np.savez(os.path.join(path, "leaves.npz"),
                  **{f"leaf_{i}": np.asarray(l)
                     for i, l in enumerate(leaves)})
+    # pickle the treedef FIRST so the manifest can record whether a
+    # template-free load will work; a silently-missing treedef.pkl used to
+    # surface only as a FileNotFoundError at resume time (ADVICE r3 #4)
+    import pickle
+    try:
+        treedef_blob = pickle.dumps(treedef)
+    except Exception as e:  # noqa: BLE001 — degraded but loadable w/ like=
+        treedef_blob = None
+        import sys
+        print(f"[checkpoint] WARNING: treedef for {path} is not "
+              f"picklable ({e!r}); this checkpoint will only load with "
+              f"an explicit like= template", file=sys.stderr)
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"treedef": str(treedef),
                    "n_leaves": len(leaves),
                    "backend": backend,
+                   "treedef_pickled": treedef_blob is not None,
                    "metadata": metadata or {}}, f)
-    try:
-        import pickle
+    if treedef_blob is not None:
         with open(os.path.join(path, "treedef.pkl"), "wb") as f:
-            pickle.dump(treedef, f)
-    except Exception:
-        pass
+            f.write(treedef_blob)
 
 
 def resolve_checkpoint_dir(path: str) -> str:
@@ -97,8 +107,21 @@ def load_checkpoint(path: str, like: Any = None) -> Any:
         treedef = jax.tree_util.tree_structure(like)
     else:
         import pickle
-        with open(os.path.join(path, "treedef.pkl"), "rb") as f:
-            treedef = pickle.load(f)
+        tdp = os.path.join(path, "treedef.pkl")
+        if not os.path.exists(tdp):
+            raise RuntimeError(
+                f"{path} has no treedef.pkl (it was not picklable at "
+                f"save time — see manifest 'treedef_pickled'); pass "
+                f"like=<template pytree with the same structure> to "
+                f"load_checkpoint")
+        try:
+            with open(tdp, "rb") as f:
+                treedef = pickle.load(f)
+        except Exception as e:  # noqa: BLE001 — jax version drift etc.
+            raise RuntimeError(
+                f"{path}/treedef.pkl failed to unpickle ({e!r}) — a jax "
+                f"version change can break treedef pickles; pass "
+                f"like=<template pytree> to load_checkpoint") from e
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

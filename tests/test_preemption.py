@@ -73,6 +73,11 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert meta.get("preempted") is True
     saved_step = meta["step"]
     assert saved_step >= 1
+    # the emergency checkpoint records the shuffle permutation identity
+    # (seed + epoch counter) of the interrupted epoch, so resume can skip
+    # EXACTLY the consumed batches (ADVICE r3 #2)
+    assert meta.get("loader_epoch") is not None
+    assert meta.get("loader_seed") is not None
 
     # resume: same epoch, continuing from the saved step
     proc2 = subprocess.run(
@@ -80,6 +85,8 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         env=_cpu_env(), cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True, timeout=900)
     assert proc2.returncode == 0, proc2.stdout
+    assert (f"[resume] replaying loader permutation "
+            f"{meta['loader_epoch']}") in proc2.stdout, proc2.stdout
     assert (f"[resume] preempted run {latest}: continuing epoch "
             f"{meta['epoch']} from step {saved_step}") in proc2.stdout, \
         proc2.stdout

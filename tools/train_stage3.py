@@ -109,6 +109,11 @@ def main():
             raise SystemExit("--randaugment needs the decode-path loader; "
                              "it cannot run on packed uint8 shards")
         ds = PackedTrainDataset(packed_dir)
+        if ds.image_size < opts.input_size[0]:
+            raise SystemExit(
+                f"packed shards are {ds.image_size}px but INPUT_SIZE is "
+                f"{opts.input_size[0]} — repack with tools/pack_train.py "
+                f"--image_size >= {round(128 * opts.input_size[0] / 112)}")
         print(f"[data] packed: {len(ds)} images, {ds.n_identities} "
               f"identities from {packed_dir}")
         loader = PackedLoader(ds, opts.batch_size,
@@ -120,8 +125,16 @@ def main():
             transform = RandAugment(num_ops=args.randaugment)
             print(f"[data] RandAugment({args.randaugment} ops) enabled "
                   "(python loader)")
-        ds = FacesDataset(train_root, transform=transform)
-        print(f"[data] {len(ds)} images, {ds.n_identities} identities")
+        # the reference scales the pre-crop resize with the input size —
+        # Resize(int(128 * INPUT_SIZE[0] / 112)), train.py:109-117; a
+        # fixed 128 would make random_crop degenerate for INPUT_SIZE > 128
+        # (ADVICE r3 #1)
+        ds_size = max(opts.input_size[0],
+                      round(128 * opts.input_size[0] / 112))
+        ds = FacesDataset(train_root, transform=transform,
+                          image_size=ds_size)
+        print(f"[data] {len(ds)} images, {ds.n_identities} identities "
+              f"(resize {ds_size} -> crop {opts.input_size[0]})")
         loader = make_loader(ds, opts.batch_size,
                              num_workers=opts.num_workers,
                              drop_last=opts.drop_last)
@@ -225,6 +238,22 @@ def main():
                 # already-consumed batches
                 start_epoch = meta.get("epoch", 0)
                 resume_step = meta.get("step")
+                # replay the SAME shuffle permutation the preempted epoch
+                # used (loaders derive it from seed + _epoch), so the skip
+                # below drops exactly the consumed batches — without this
+                # the fresh loader re-seeds and epoch sample coverage is
+                # silently uneven (ADVICE r3 #2)
+                saved_perm = meta.get("loader_epoch")
+                if saved_perm is not None and hasattr(loader, "_epoch"):
+                    if meta.get("loader_seed") == getattr(
+                            loader, "seed", None):
+                        loader._epoch = saved_perm
+                        print(f"[resume] replaying loader permutation "
+                              f"{saved_perm}")
+                    else:
+                        print("[resume] WARNING: loader seed changed "
+                              "since the preempted run; epoch sample "
+                              "coverage will be uneven")
                 print(f"[resume] preempted run {latest}: continuing epoch "
                       f"{start_epoch} from step {resume_step}")
             else:
@@ -261,6 +290,10 @@ def main():
         t0 = time.time()
         # epoch AverageMeter aggregates, matching train.py:276-279,347-355
         losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
+        # permutation id of THIS epoch's shuffle (loaders use
+        # seed + _epoch then increment) — recorded in the emergency
+        # checkpoint so a preempted epoch can be replayed exactly
+        loader_perm = getattr(loader, "_epoch", None)
         batch_iter = iter(loader)
         if resume_step is not None and epoch == start_epoch:
             # skip the batches the preempted run already consumed (order
@@ -315,7 +348,10 @@ def main():
             mgr.save(step, {"params": params, "state": state,
                             "opt_state": opt_state},
                      metadata={"epoch": epoch, "step": step,
-                               "preempted": True})
+                               "preempted": True,
+                               "loader_epoch": loader_perm,
+                               "loader_seed": getattr(loader, "seed",
+                                                      None)})
             print(f"[preempt] emergency checkpoint at step {step} "
                   f"(epoch {epoch}); resume with --resume", flush=True)
             return
