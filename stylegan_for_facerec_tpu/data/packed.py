@@ -211,19 +211,39 @@ class PackedTrainDataset:
 class PackedLoader:
     """Same iteration contract as ``data.dataset.DataLoader`` but yields
     (uint8 NHWC, int32) with zero decode work; a producer thread keeps
-    ``prefetch`` batches gathered ahead."""
+    ``prefetch`` batches gathered ahead.
+
+    Multi-process SPMD: ``batch_size`` is always the GLOBAL batch.
+    With ``num_processes > 1`` every process derives the IDENTICAL
+    global shuffle (seed + epoch counter) and yields only its
+    ``process_id``-th contiguous slice of each global batch
+    (``batch_size // num_processes`` rows) — together the processes
+    cover each batch exactly once, and
+    ``jax.make_array_from_process_local_data`` stitches the slices
+    into the global array (see ``device_prefetch``)."""
 
     def __init__(self, dataset: PackedTrainDataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 4, num_workers: int = 0):
+                 seed: int = 0, prefetch: int = 4, num_workers: int = 0,
+                 process_id: int = 0, num_processes: int = 1):
         # num_workers accepted (and ignored) for make_loader signature
         # compatibility -- gathering from mmap is memcpy-bound
+        assert batch_size % num_processes == 0, (
+            f"global batch {batch_size} must divide over "
+            f"{num_processes} processes")
+        assert 0 <= process_id < num_processes
+        # a ragged final batch would give the processes unequal local
+        # slices, which cannot assemble into one global array
+        assert num_processes == 1 or drop_last, (
+            "multi-process loading requires drop_last=True")
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.process_id = process_id
+        self.num_processes = num_processes
         self._epoch = 0
 
     def __len__(self):
@@ -238,11 +258,15 @@ class PackedLoader:
         if self.shuffle:
             rng.shuffle(order)
         nb = len(self)
+        local = self.batch_size // self.num_processes
+        lo = self.process_id * local
 
         def batches():
             for b in range(nb):
-                idxs = order[b * self.batch_size:
-                             (b + 1) * self.batch_size]
+                start = b * self.batch_size + lo
+                end = start + local if self.num_processes > 1 \
+                    else min(start + local, len(order))
+                idxs = order[start:end]
                 yield (self.ds.gather(idxs),
                        self.ds.labels[idxs].astype(np.int32))
 
@@ -257,6 +281,14 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
 
     ``sharding`` is an optional jax.sharding.Sharding (or a (img, label)
     pair of them) applied in the background thread's ``device_put``.
+
+    Multi-process SPMD (pod slices): when ``jax.process_count() > 1``
+    the iterator's batches are this process's LOCAL slice of the global
+    batch (e.g. ``PackedLoader(num_processes=N, process_id=i)``), and
+    each is assembled into a global jax.Array via
+    ``jax.make_array_from_process_local_data`` — no host ever
+    materializes the full global batch. A sharding is required there
+    (there is no meaningful default placement across processes).
     """
     import jax
 
@@ -264,10 +296,22 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
         shardings = sharding
     else:
         shardings = (sharding, sharding)
+    multiprocess = jax.process_count() > 1
+    if multiprocess and shardings is None:
+        raise ValueError(
+            "device_prefetch: multi-process jax needs an explicit "
+            "sharding (the global batch layout) to assemble per-process "
+            "local batches")
 
     def shipped():
+        import numpy as _np
         for images, labels in iterator:
-            if shardings is not None:
+            if multiprocess:
+                yield (jax.make_array_from_process_local_data(
+                           shardings[0], _np.asarray(images)),
+                       jax.make_array_from_process_local_data(
+                           shardings[1], _np.asarray(labels)))
+            elif shardings is not None:
                 yield (jax.device_put(images, shardings[0]),
                        jax.device_put(labels, shardings[1]))
             else:

@@ -365,8 +365,15 @@ class MaxPool2d(Layer):
 
 @dataclasses.dataclass(frozen=True)
 class AvgPool2d(Layer):
+    """torch ``nn.AvgPool2d`` incl. padding semantics:
+    ``count_include_pad=True`` (torch default) divides by the full window
+    size everywhere; ``False`` divides by the number of REAL elements
+    under each window (the pytorch-fid Inception variant's pools)."""
+
     kernel_size: IntPair
     stride: Optional[IntPair] = None
+    padding: IntPair = 0
+    count_include_pad: bool = True
 
     def init(self, key):
         return {}, {}
@@ -375,9 +382,18 @@ class AvgPool2d(Layer):
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.stride if self.stride is not None
                        else self.kernel_size)
-        y = lax.reduce_window(x, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1),
-                              "VALID") / (kh * kw)
-        return y, {}
+        ph, pw = _pair(self.padding)
+        pads = [(0, 0), (ph, ph), (pw, pw), (0, 0)]
+        y = lax.reduce_window(x, 0.0, lax.add, (1, kh, kw, 1),
+                              (1, sh, sw, 1), pads)
+        if self.count_include_pad or (ph == 0 and pw == 0):
+            return y / (kh * kw), {}
+        # per-position real-element count: same reduction over ones
+        # (constant-folded by XLA; no runtime cost after fusion)
+        ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+        counts = lax.reduce_window(ones, 0.0, lax.add, (1, kh, kw, 1),
+                                   (1, sh, sw, 1), pads)
+        return y / counts, {}
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,6 +11,7 @@ partitioner from sharding annotations — collectives ride ICI.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -64,3 +65,61 @@ def logits_sharding(mesh: Mesh) -> NamedSharding:
     """(batch, classes) block layout: batch over 'data', classes over
     'model'."""
     return NamedSharding(mesh, P("data", "model"))
+
+
+# -- multi-process SPMD (pod slices: >1 host, each seeing a subset of the
+# chips). The reference never leaves one process (nn.DataParallel); the
+# TPU-native scale-out is jax.distributed + a GLOBAL mesh over all
+# processes' devices, with each process contributing its local slice of
+# every batch. --------------------------------------------------------------
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Idempotent ``jax.distributed.initialize``. Returns True when the
+    runtime is (now) multi-process-initialized, False when running
+    single-process. On real TPU pods all three args come from the
+    environment automatically; explicit args are for CPU tests.
+
+    Must run BEFORE any call that initializes the XLA backend — so the
+    already-initialized check inspects jax's distributed state directly
+    instead of calling ``jax.process_count()`` (which would itself
+    initialize the backend and make a subsequent initialize fatal)."""
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return True
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e):
+            return True
+        raise
+
+
+def initialize_distributed_from_env() -> bool:
+    """CLI hook: initialize multi-process jax when SGFR_COORDINATOR is
+    set (with SGFR_NUM_PROCESSES / SGFR_PROCESS_ID — explicit CPU/test
+    wiring), or SGFR_DISTRIBUTED=1 (TPU pod runtimes auto-detect all
+    three). Returns whether this is a multi-process run."""
+    coord = os.environ.get("SGFR_COORDINATOR")
+    if coord:
+        initialize_distributed(
+            coordinator_address=coord,
+            num_processes=int(os.environ["SGFR_NUM_PROCESSES"]),
+            process_id=int(os.environ["SGFR_PROCESS_ID"]))
+    elif os.environ.get("SGFR_DISTRIBUTED") == "1":
+        initialize_distributed()
+    return jax.process_count() > 1
+
+
+def from_process_local(sharding: NamedSharding, array) -> jax.Array:
+    """Assemble a GLOBAL jax.Array from this process's LOCAL slice of the
+    batch (each process passes only the rows it loaded;
+    ``jax.make_array_from_process_local_data`` places them on the local
+    devices and stitches the global view). Works single-process too,
+    where local == global."""
+    return jax.make_array_from_process_local_data(sharding,
+                                                  np.asarray(array))

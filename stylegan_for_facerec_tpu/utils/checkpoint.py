@@ -42,6 +42,12 @@ def save_checkpoint(path: str, tree: Any,
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(d, {f"leaf_{i}": l for i, l in enumerate(leaves)})
     else:
+        for l in leaves:
+            if isinstance(l, jax.Array) and not l.is_fully_addressable:
+                raise ValueError(
+                    "npz checkpointing cannot serialize non-fully-"
+                    "addressable (multi-process) arrays — pass "
+                    "backend='orbax', which writes each host's shards")
         np.savez(os.path.join(path, "leaves.npz"),
                  **{f"leaf_{i}": np.asarray(l)
                     for i, l in enumerate(leaves)})

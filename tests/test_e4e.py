@@ -144,6 +144,7 @@ def test_e4e_coach_step(rng):
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
 
 
+@pytest.mark.slow
 def test_e4e_coach_sharded_matches_single(rng):
     """E4eCoach(mesh=): encoder+adversarial step and the discriminator step
     must match single-device numerics (reference trains stage-2 e4e with

@@ -72,3 +72,50 @@ def test_embedding_fid_ragged_batches_and_direction(rng):
     assert near < 0.01
     assert far == pytest.approx(5 * 9.0, rel=0.05)  # D * shift^2
     assert near < far
+
+
+def test_inception_v3_stand_in_conversion_and_fid(rng):
+    """Real-Inception FID readiness (VERDICT r3 next #6): the jax
+    InceptionV3 mirrors the torchvision/pytorch-fid state_dict schema, so
+    a (random-init) torch-style checkpoint stand-in converts through the
+    standard from_torch key walk, the pool3 forward produces 2048-d
+    features, and embedding_fid in that space behaves like a divergence.
+    Numerical parity vs torchvision needs its weights (offline-
+    unreachable); the wiring is what is testable and pinned here."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.models.inception import InceptionV3
+    from stylegan_for_facerec_tpu.utils import torch_convert as tc
+
+    m = InceptionV3()
+    params, state = m.init(jax.random.key(0))
+    # the "checkpoint": torch key schema incl. the classifier heads the
+    # real files carry (the CLI strips them; strict from_torch must
+    # consume every remaining key)
+    sd = tc.to_torch(m, params, state)
+    assert "Conv2d_1a_3x3.conv.weight" in sd
+    assert "Mixed_7c.branch_pool.bn.running_var" in sd
+    assert sd["Conv2d_1a_3x3.conv.weight"].shape == (32, 3, 3, 3)
+    p2, s2 = tc.from_torch(m, sd)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    @jax.jit
+    def embed(x):
+        y, _ = m.apply(p2, s2, x, nn.Ctx(train=False))
+        return y
+
+    # resize_input handles arbitrary sizes; keep it small for CPU
+    a = jnp.asarray(rng.randn(4, 64, 64, 3).clip(-1, 1), jnp.float32)
+    feats = np.asarray(embed(a))
+    assert feats.shape == (4, 2048)
+    assert np.isfinite(feats).all()
+    same = fid.embedding_fid(embed, np.asarray(a), np.asarray(a),
+                             batch_size=4)
+    shifted = fid.embedding_fid(
+        embed, np.asarray(a),
+        np.asarray(jnp.clip(a + 0.5, -1, 1)), batch_size=4)
+    assert same == pytest.approx(0.0, abs=1e-3)
+    assert shifted > same

@@ -7,9 +7,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_via_driver_import_path():
     env = dict(os.environ)
     # simulate the driver: no CPU forcing, no virtual-device flags
@@ -29,6 +32,8 @@ def test_dryrun_multichip_via_driver_import_path():
     assert "stage-2" in proc.stdout
     assert "stage-1" in proc.stdout
     assert "e4e" in proc.stdout
+    # plus the 2-process pod-slice variant (VERDICT r3 next #3)
+    assert "mp3" in proc.stdout
 
 
 def test_graft_entry_module_has_no_eager_jax_import():

@@ -79,6 +79,7 @@ def test_ada_controller_moves_p(trainer, state):
     assert float(st3["ada_p"]) <= float(st["ada_p"])
 
 
+@pytest.mark.slow
 def test_stage1_sharded_matches_single(trainer, state, rng):
     """mesh= data-parallel GAN step == single-device numerics (TPU-native
     scale-out for the stage the reference trains single-node)."""

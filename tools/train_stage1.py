@@ -36,6 +36,11 @@ def main():
                     help="IR-SE-50 checkpoint dir for the FID feature "
                          "space; omitted = random-init features (valid "
                          "for RELATIVE progress within this run only)")
+    ap.add_argument("--fid_inception", default=None,
+                    help="InceptionV3 weights (torchvision/pytorch-fid "
+                         ".pth, or a converted native checkpoint dir) — "
+                         "makes the FID comparable to published numbers; "
+                         "takes precedence over --fid_encoder")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in exp_dir "
                     "(full trainer state: G/D/EMA/optimizers/ADA p + step)")
@@ -88,26 +93,57 @@ def main():
         from stylegan_for_facerec_tpu.models import irse
         from stylegan_for_facerec_tpu.ops.image import resize_bilinear
 
-        enc = irse.IR_SE_50(112)
-        if args.fid_encoder:
-            from stylegan_for_facerec_tpu.utils.checkpoint import (
-                load_checkpoint)
-            ck = load_checkpoint(args.fid_encoder)
-            e_params = ck["params"].get("backbone", ck["params"])
-            e_state = ck["state"].get("backbone", ck["state"])
-        else:
-            print("[fid] no --fid_encoder: random-init IR-SE-50 feature "
-                  "space; the metric tracks RELATIVE progress only")
-            e_params, e_state = enc.init(jax.random.key(11))
+        if args.fid_inception:
+            # real-Inception FID (VERDICT r3 next #6): comparable to the
+            # published stylegan2-ada-lightning numbers. Accepts the
+            # torchvision/pytorch-fid torch checkpoint directly or a
+            # converted native checkpoint dir.
+            from stylegan_for_facerec_tpu.models.inception import (
+                InceptionV3)
+            enc = InceptionV3()
+            if os.path.isdir(args.fid_inception):
+                from stylegan_for_facerec_tpu.utils.checkpoint import (
+                    load_checkpoint)
+                ck = load_checkpoint(args.fid_inception)
+                e_params, e_state = ck["params"], ck["state"]
+            else:
+                from stylegan_for_facerec_tpu.utils.torch_convert import (
+                    from_torch, load_torch_checkpoint)
+                sd = load_torch_checkpoint(args.fid_inception)
+                sd = sd.get("state_dict", sd)
+                # drop heads the feature extractor does not own
+                sd = {k: v for k, v in sd.items()
+                      if not k.startswith(("fc.", "AuxLogits."))}
+                e_params, e_state = from_torch(enc, sd)
+            print("[fid] InceptionV3-pool3 feature space "
+                  f"({args.fid_inception})")
 
-        # params as jit ARGUMENTS, never closure constants: the axon
-        # remote-compile helper rejects >~100MB serialized bodies with
-        # HTTP 413 (CLAUDE.md; IR-SE-50 is ~170MB f32)
-        @jax.jit
-        def _embed_p(p, s, x):
-            y, _ = enc.apply(p, s, resize_bilinear(x, 112, 112),
-                             nn_lib.Ctx(train=False))
-            return y
+            @jax.jit
+            def _embed_p(p, s, x):
+                y, _ = enc.apply(p, s, x, nn_lib.Ctx(train=False))
+                return y
+        else:
+            enc = irse.IR_SE_50(112)
+            if args.fid_encoder:
+                from stylegan_for_facerec_tpu.utils.checkpoint import (
+                    load_checkpoint)
+                ck = load_checkpoint(args.fid_encoder)
+                e_params = ck["params"].get("backbone", ck["params"])
+                e_state = ck["state"].get("backbone", ck["state"])
+            else:
+                print("[fid] no --fid_encoder/--fid_inception: random-init "
+                      "IR-SE-50 feature space; the metric tracks RELATIVE "
+                      "progress only")
+                e_params, e_state = enc.init(jax.random.key(11))
+
+            # params as jit ARGUMENTS, never closure constants: the axon
+            # remote-compile helper rejects >~100MB serialized bodies with
+            # HTTP 413 (CLAUDE.md; IR-SE-50 is ~170MB f32)
+            @jax.jit
+            def _embed_p(p, s, x):
+                y, _ = enc.apply(p, s, resize_bilinear(x, 112, 112),
+                                 nn_lib.Ctx(train=False))
+                return y
 
         def _embed(x):
             return _embed_p(e_params, e_state, x)

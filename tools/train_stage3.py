@@ -79,10 +79,21 @@ def main():
     from stylegan_for_facerec_tpu.data.native_loader import make_loader
     from stylegan_for_facerec_tpu.eval import perform_val
     from stylegan_for_facerec_tpu.parallel import make_mesh
+    from stylegan_for_facerec_tpu.parallel.mesh import (
+        initialize_distributed_from_env)
     from stylegan_for_facerec_tpu.train import Stage3Config, Stage3Trainer
     from stylegan_for_facerec_tpu.utils.checkpoint import CheckpointManager
 
     opts = load_options(args.config)
+
+    # multi-host pod slice: SGFR_COORDINATOR/.._NUM_PROCESSES/.._PROCESS_ID
+    # (or a TPU pod runtime that auto-detects) joins this process into a
+    # global mesh; each process then loads only its slice of every batch
+    multiprocess = initialize_distributed_from_env()
+    if multiprocess:
+        print(f"[dist] process {jax.process_index()}/{jax.process_count()}"
+              f" ({jax.local_device_count()} local of "
+              f"{len(jax.devices())} global devices)")
 
     n_dev = len(jax.devices())
     mesh = make_mesh(data=n_dev // args.mesh_model_axis,
@@ -117,8 +128,15 @@ def main():
         print(f"[data] packed: {len(ds)} images, {ds.n_identities} "
               f"identities from {packed_dir}")
         loader = PackedLoader(ds, opts.batch_size,
-                              drop_last=opts.drop_last)
+                              drop_last=(opts.drop_last or multiprocess),
+                              process_id=jax.process_index(),
+                              num_processes=jax.process_count())
     else:
+        if multiprocess:
+            raise SystemExit(
+                "multi-process training feeds through packed shards "
+                "(tools/pack_train.py + --packed_dir); the per-image "
+                "decode loader has no cross-process batch contract")
         transform = None
         if args.randaugment > 0:
             from stylegan_for_facerec_tpu.data.randaugment import RandAugment
@@ -216,7 +234,11 @@ def main():
             state["backbone"]["avg_image"] = jnp.asarray((img - 0.5) / 0.5)
         print(f"[init] loaded avg image from {avg_image_path}")
 
-    mgr = CheckpointManager(os.path.join(opts.model_root, opts.name))
+    # multi-process trees hold non-fully-addressable jax.Arrays: the npz
+    # path (np.asarray per leaf) cannot gather them; orbax writes each
+    # host's shards in place
+    mgr = CheckpointManager(os.path.join(opts.model_root, opts.name),
+                            backend="orbax" if multiprocess else "npz")
     from stylegan_for_facerec_tpu.utils.logging import MetricLogger
     logger = MetricLogger(
         log_dir=os.path.join(opts.model_root, opts.name, "logs"))
