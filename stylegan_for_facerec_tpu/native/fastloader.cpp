@@ -222,10 +222,17 @@ struct Loader {
     std::vector<uint8_t> rgb;
     int w, h;
     for (int attempt = 0; attempt < 10; ++attempt) {
-      if (decode_image(paths[idx], rgb, w, h) && w > 0 && h > 0) {
-        resize_normalize(rgb, w, h, out_size, img_out);
-        *label_out = labels[idx];
-        return true;
+      // two tries per index: a transient open/decode failure (EMFILE or
+      // ENOMEM under host pressure) must not flip this slot to a random
+      // OTHER identity — that silently corrupts the epoch's label
+      // sequence (observed as a one-element label mismatch vs the
+      // Python loader under a loaded 1-core host)
+      for (int t = 0; t < 2; ++t) {
+        if (decode_image(paths[idx], rgb, w, h) && w > 0 && h > 0) {
+          resize_normalize(rgb, w, h, out_size, img_out);
+          *label_out = labels[idx];
+          return true;
+        }
       }
       idx = rng() % paths.size();  // corrupt: resample (static shapes)
     }

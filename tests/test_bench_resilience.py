@@ -134,9 +134,11 @@ def test_data_pipeline_bench_runs():
     assert extras["native_loader_imgs_per_sec"] > 0
 
 
-def test_synthesis_prng_ab_picks_winner_and_keeps_it_active(monkeypatch):
-    """_bench_synthesis A/Bs threefry vs the hardware RBG and must leave
-    the winning impl configured for the downstream phases."""
+def test_synthesis_prng_ab_picks_winner_and_restores_default(monkeypatch):
+    """_bench_synthesis A/Bs threefry vs the hardware RBG, records the
+    winner in extras, and must RESTORE the pre-call default impl — the
+    re-application for downstream phases happens explicitly in ``main``
+    (ADVICE r3 #5: no leaked config side effect from the helper)."""
     import jax
 
     speeds = {"threefry2x32": 100.0, "rbg": 250.0}
@@ -145,14 +147,14 @@ def test_synthesis_prng_ab_picks_winner_and_keeps_it_active(monkeypatch):
         return speeds[jax.config.jax_default_prng_impl]
 
     monkeypatch.setattr(bench, "_measure_synthesis", fake_measure)
+    prev = jax.config.jax_default_prng_impl
     extras = {}
     out = bench._bench_synthesis(extras)
     assert out == 250.0
     assert extras["synthesis_prng_impl"] == "rbg"
     assert extras["synthesis_threefry2x32_imgs_per_sec"] == 100.0
     assert extras["synthesis_rbg_imgs_per_sec"] == 250.0
-    assert jax.config.jax_default_prng_impl == "rbg"
-    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert jax.config.jax_default_prng_impl == prev
 
 
 def test_synthesis_prng_ab_survives_one_impl_failing(monkeypatch):

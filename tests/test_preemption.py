@@ -13,6 +13,7 @@ import sys
 import time
 
 import numpy as np
+import pytest
 
 from test_packed_data import _write_packed
 
@@ -98,7 +99,10 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert latest2 != latest
     assert not meta2.get("preempted")
 
-def _wait_for(path, proc, deadline_s=600):
+def _wait_for(path, proc, deadline_s=1200):
+    # 1200s: the stage-2/e4e coach subprocess compiles its full backward
+    # graph cold whenever nn/ layer changes invalidate the compile cache;
+    # on the loaded 1-core host that crossed 600s (round-4 suite flake)
     """Wait until ``path`` is non-empty (first completed step evidence)."""
     deadline = time.time() + deadline_s
     while time.time() < deadline:
@@ -157,6 +161,7 @@ def _preempt_and_resume(argv, exp_dir, env, wait_path):
     return proc2.stdout
 
 
+@pytest.mark.slow
 def test_stage2_sigterm_checkpoints_and_resumes(tmp_path, rng):
     """Stage-2 coach CLI: the emergency checkpoint carries opt_state, and
     --resume reloads avg_image.npy instead of re-estimating latent_avg."""
@@ -177,6 +182,7 @@ def test_stage2_sigterm_checkpoints_and_resumes(tmp_path, rng):
     assert "opt_state" in ckpt
 
 
+@pytest.mark.slow
 def test_e4e_sigterm_checkpoints_and_resumes(tmp_path, rng):
     """e4e coach CLI: discriminator params + both optimizer states travel
     in the emergency checkpoint."""
