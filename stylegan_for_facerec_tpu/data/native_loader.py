@@ -65,7 +65,8 @@ def _get_lib():
         lib.fl_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int]
         lib.fl_num_batches.restype = ctypes.c_int
         lib.fl_num_batches.argtypes = [ctypes.c_void_p]
         lib.fl_next.restype = ctypes.c_int
@@ -87,13 +88,20 @@ class NativeDataLoader:
 
     def __init__(self, dataset: FacesDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 8,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0,
+                 fast_decode: bool = False):
+        # fast_decode: decode large JPEGs at the coarsest 1/2^k DCT scale
+        # that still covers the target size, then bilinear-resize. Big
+        # CPU savings on hosts feeding a small training resolution from
+        # high-res sources; pixels differ slightly from the full-res
+        # parity path, so it is opt-in.
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.seed = seed
+        self.fast_decode = fast_decode
         self._epoch = 0
         self._handle = None
         self._lib = _get_lib()
@@ -119,7 +127,7 @@ class NativeDataLoader:
                 self._paths_arr, len(self.ds), self._labels_arr,
                 self.batch_size, self.ds.image_size, self.num_workers,
                 int(self.shuffle), self.seed + self._epoch,
-                int(self.drop_last))
+                int(self.drop_last), int(self.fast_decode))
         else:
             lib.fl_reset(self._handle, self.seed + self._epoch)
         self._epoch += 1
@@ -175,4 +183,5 @@ def make_loader(dataset: FacesDataset, batch_size: int, **kw):
         except (RuntimeError, OSError, TypeError):
             pass
     from .dataset import DataLoader
+    kw.pop("fast_decode", None)  # native-only decode optimization
     return DataLoader(dataset, batch_size, **kw)

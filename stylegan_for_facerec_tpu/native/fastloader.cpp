@@ -48,9 +48,17 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// decode a JPEG file into RGB8; returns false on any error
+// decode a JPEG file into RGB8; returns false on any error.
+// min_dim > 0 enables DCT-domain downscaling (libjpeg scale_denom): the
+// image is decoded at the coarsest 1/2^k scale whose BOTH sides still
+// cover min_dim, then bilinear-resized to the exact target. This skips
+// most of the IDCT + color-convert work for large sources feeding a
+// small training resolution — the host input pipeline must outrun the
+// TPU step or the MXU starves. Opt-in (fast_decode) because the pixels
+// differ slightly from the full-res-decode-then-resize parity path the
+// Python loader (PIL) uses.
 bool decode_jpeg(const std::string &path, std::vector<uint8_t> &rgb,
-                 int &width, int &height) {
+                 int &width, int &height, int min_dim) {
   FILE *f = fopen(path.c_str(), "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -66,6 +74,15 @@ bool decode_jpeg(const std::string &path, std::vector<uint8_t> &rgb,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_dim > 0) {
+    int iw = cinfo.image_width, ih = cinfo.image_height;
+    int denom = 1;
+    for (int d = 2; d <= 8; d *= 2) {
+      if (iw / d >= min_dim && ih / d >= min_dim) denom = d;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   width = cinfo.output_width;
   height = cinfo.output_height;
@@ -112,7 +129,7 @@ bool decode_png(const std::string &path, std::vector<uint8_t> &rgb,
 // dispatch on magic bytes (extensions lie; the reference's PIL open does
 // content sniffing too)
 bool decode_image(const std::string &path, std::vector<uint8_t> &rgb,
-                  int &width, int &height) {
+                  int &width, int &height, int min_dim) {
   FILE *f = fopen(path.c_str(), "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -120,9 +137,9 @@ bool decode_image(const std::string &path, std::vector<uint8_t> &rgb,
   fclose(f);
   if (got >= 8 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
       magic[3] == 'G')
-    return decode_png(path, rgb, width, height);
+    return decode_png(path, rgb, width, height);  // no DCT scaling for PNG
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
-    return decode_jpeg(path, rgb, width, height);
+    return decode_jpeg(path, rgb, width, height, min_dim);
   return false;
 }
 
@@ -188,6 +205,9 @@ struct Loader {
   bool shuffle = true;
   bool drop_last = true;
   uint32_t seed = 0;
+  // fast_decode: DCT-domain downscale for JPEG sources much larger than
+  // out_size (0 = parity with the Python loader's full-res decode)
+  int fast_decode = 0;
 
   std::vector<uint32_t> order;
   std::atomic<size_t> next_batch{0};
@@ -228,7 +248,9 @@ struct Loader {
       // sequence (observed as a one-element label mismatch vs the
       // Python loader under a loaded 1-core host)
       for (int t = 0; t < 2; ++t) {
-        if (decode_image(paths[idx], rgb, w, h) && w > 0 && h > 0) {
+        if (decode_image(paths[idx], rgb, w, h,
+                         fast_decode ? out_size : 0) &&
+            w > 0 && h > 0) {
           resize_normalize(rgb, w, h, out_size, img_out);
           *label_out = labels[idx];
           return true;
@@ -339,7 +361,7 @@ int fl_has_png(void) {
 
 void *fl_create(const char **paths, int n_paths, const int32_t *labels,
                 int batch_size, int out_size, int n_threads, int shuffle,
-                uint32_t seed, int drop_last) {
+                uint32_t seed, int drop_last, int fast_decode) {
   auto *l = new Loader;
   l->paths.reserve(n_paths);
   for (int i = 0; i < n_paths; ++i) l->paths.emplace_back(paths[i]);
@@ -350,6 +372,7 @@ void *fl_create(const char **paths, int n_paths, const int32_t *labels,
   l->shuffle = shuffle != 0;
   l->seed = seed;
   l->drop_last = drop_last != 0;
+  l->fast_decode = fast_decode;
   l->start();
   return l;
 }

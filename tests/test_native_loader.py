@@ -183,6 +183,46 @@ def test_build_cache_keyed_by_source_hash(tmp_path, monkeypatch):
     assert hashlib.sha1(src).hexdigest()[:12] in so1
 
 
+def test_fast_decode_small_sources_identical(lib_available, faces_root):
+    """fast_decode on sources < 2x the target size must be a no-op: the
+    DCT scale search only fires when a 1/2 decode still covers the
+    target, so 112px sources at 112px target decode identically."""
+    ds = FacesDataset(faces_root)   # 112px sources, 112px target
+    kw = dict(batch_size=4, shuffle=False, num_workers=2)
+    a = next(iter(native_loader.NativeDataLoader(ds, **kw)))
+    b = next(iter(native_loader.NativeDataLoader(ds, fast_decode=True,
+                                                 **kw)))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_fast_decode_large_sources_close(lib_available, tmp_path):
+    """512px smooth JPEGs to a 64px target: fast_decode decodes at 1/8
+    DCT scale; output must stay close to the full-res parity path and
+    keep labels exact."""
+    from PIL import Image
+    root = tmp_path / "big"
+    d = root / "id0"
+    d.mkdir(parents=True)
+    yy, xx = np.mgrid[0:512, 0:512] / 511.0
+    for i in range(4):
+        # smooth gradients (DCT downscale error is bounded); vary phase
+        arr = np.stack([np.sin(3 * xx + i), np.cos(2 * yy),
+                        xx * yy], -1)
+        arr = ((arr - arr.min()) / (arr.max() - arr.min()) * 255)
+        Image.fromarray(arr.astype(np.uint8)).save(d / f"{i}.jpg",
+                                                   quality=95)
+    ds = FacesDataset(str(root), image_size=64)
+    kw = dict(batch_size=4, shuffle=False, num_workers=2, drop_last=False)
+    slow = next(iter(native_loader.NativeDataLoader(ds, **kw)))
+    fast = next(iter(native_loader.NativeDataLoader(ds, fast_decode=True,
+                                                    **kw)))
+    np.testing.assert_array_equal(slow[1], fast[1])
+    # [-1,1] scale: mean deviation well under one gray level x 4
+    assert np.abs(slow[0] - fast[0]).mean() < 4 / 127.5, \
+        np.abs(slow[0] - fast[0]).mean()
+
+
 def test_native_all_corrupt_raises(lib_available, tmp_path):
     """When an item exhausts its 10 decode attempts the loader must RAISE
     (fl_next -1), mirroring the Python DataLoader — not yield a zero

@@ -71,6 +71,11 @@ def main():
                     "tools/pack_train.py; skips JPEG decode entirely")
     ap.add_argument("--no_prefetch", action="store_true",
                     help="disable the host->device double-buffering")
+    ap.add_argument("--fast_decode", action="store_true",
+                    help="native loader decodes large JPEGs at the "
+                    "coarsest 1/2^k DCT scale covering the crop size "
+                    "(libjpeg scale_denom); pixels differ slightly from "
+                    "the full-res parity path")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.data import (
@@ -155,7 +160,8 @@ def main():
               f"(resize {ds_size} -> crop {opts.input_size[0]})")
         loader = make_loader(ds, opts.batch_size,
                              num_workers=opts.num_workers,
-                             drop_last=opts.drop_last)
+                             drop_last=opts.drop_last,
+                             fast_decode=args.fast_decode)
     if len(ds) == 0 or ds.n_identities == 0:
         raise SystemExit(f"no training images found under {train_root} "
                          "(check data_root/train_subdir)")
