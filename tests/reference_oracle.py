@@ -104,6 +104,44 @@ def install_dep_stubs():
             sys.modules["imageio"] = im
 
 
+def ref_import_efficientnet():
+    """Load ``/root/reference/backbone/EfficientNets.py`` as an oracle.
+
+    The upstream file is syntactically corrupt — three lines of pasted
+    non-code text (a Chinese job posting) sit mid-file, so a direct
+    import raises ``SyntaxError: invalid character '、'`` (line 370).
+    The Python code itself is INTACT: the paste only appended text after
+    ``ops = block_string.split('_')`` and added two pure-text lines, so
+    stripping every non-ASCII character restores the module exactly
+    (the two text lines become blank). No reference code is rewritten —
+    this is the same run-the-upstream-as-oracle pattern as
+    ``cuda_noop``; it closes the one §2.2 backbone without a true
+    numerics oracle."""
+    name = "ref_efficientnets_sanitized"
+    if name in sys.modules:
+        return sys.modules[name]
+    import types
+    install_dep_stubs()
+    path = REF + "/backbone/EfficientNets.py"
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    # a line BEGINNING with a non-ASCII char is pure pasted text (drop
+    # it whole — fragments like "C/C++" inside it are not code); a line
+    # merely CONTAINING non-ASCII is code with text appended (keep the
+    # ASCII prefix)
+    src = "\n".join(
+        "" if line and ord(line[0]) > 127
+        else "".join(c for c in line if ord(c) < 128)
+        for line in lines)
+    mod = types.ModuleType(name)
+    mod.__file__ = path
+    exec(compile(src, path, "exec"), mod.__dict__)
+    # same torch>=2 .view-on-noncontiguous shim as ref_import
+    mod.Flatten.forward = lambda self, x: x.reshape(x.size(0), -1)
+    sys.modules[name] = mod
+    return mod
+
+
 import contextlib
 
 

@@ -12,7 +12,7 @@ from stylegan_for_facerec_tpu.models import (attention, efficientnet,
                                              ghostnet, mobilefacenet,
                                              resnet)
 from stylegan_for_facerec_tpu.utils import torch_convert as tc
-from reference_oracle import ref_import
+from reference_oracle import ref_import, ref_import_efficientnet
 
 
 def to_nchw(x):
@@ -89,11 +89,32 @@ def test_attention_net_shapes(rng):
     assert y.shape == (1, 64)
 
 
+def test_efficientnet_b0_parity(rng):
+    """True numerics oracle: the upstream file's corruption is pasted
+    non-code TEXT only (reference_oracle.ref_import_efficientnet strips
+    it without touching any code), so EfficientNet gets the same
+    converted-weights parity check as every other backbone.
+    Reference ships it unwired (no constructor call anywhere), so the
+    oracle builds it the only way its __init__ allows:
+    EfficientNet(out_h, out_w, feat_dim, blocks_args, global_params)
+    (EfficientNets.py:770)."""
+    ref = ref_import_efficientnet()
+    blocks_args, global_params = ref.get_model_params("efficientnet-b0", {})
+    torch.manual_seed(0)
+    tm = ref.EfficientNet(7, 7, 128, list(blocks_args), global_params)
+    tm.eval()
+    jm = efficientnet.EfficientNet("b0", feat_dim=128)
+    params, state = tc.from_torch(
+        jm, tm.state_dict(), flatten_info={"output_layer.3": (7, 7, 1280)})
+    x = rng.randn(2, 112, 112, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(to_nchw(x)).contiguous()).numpy()
+    got, _ = jm.apply(params, state, jnp.asarray(x), nn.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 def test_efficientnet_b0_forward(rng):
-    """NOTE: the reference's backbone/EfficientNets.py is corrupted upstream
-    (stray non-code text at line 370 raises SyntaxError on import), so no
-    torch oracle exists; ours follows the canonical lukemelas semantics.
-    Check shapes, scaling math, and train/eval forward."""
+    """Shapes, scaling math, and train/eval forward."""
     jm = efficientnet.EfficientNet("b0", feat_dim=128)
     params, state = jm.init(jax.random.key(0))
     x = jnp.asarray(rng.randn(2, 112, 112, 3).astype(np.float32))

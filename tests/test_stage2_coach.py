@@ -82,6 +82,7 @@ def test_refinement_iterations_differ(coach, setup, rng):
     assert float(l2) != pytest.approx(float(l1))
 
 
+@pytest.mark.slow
 def test_stage2_sharded_matches_single(coach, setup, rng):
     """Mesh-parallel stage-2 (batch over 'data', replicated params) must be
     numerically identical to the single-device step — the TPU replacement

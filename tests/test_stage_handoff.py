@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -17,6 +19,7 @@ import jax
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_stage3_cli_loads_native_stage2_run_dir(tmp_path, rng):
     from PIL import Image
     from stylegan_for_facerec_tpu.models.psp import BackboneEncoder
@@ -80,6 +83,7 @@ def test_stage3_cli_loads_native_stage2_run_dir(tmp_path, rng):
         np.asarray(saved["state"]["backbone"]["avg_image"]), avg)
 
 
+@pytest.mark.slow
 def test_stage2_cli_loads_native_stage1_run_dir(tmp_path, rng):
     """--stylegan_weights pointed at a tools/train_stage1.py run dir must
     initialize the frozen decoder from g_ema (and its state), closing the
