@@ -366,6 +366,38 @@ def _bench_embed(extras):
     dt = _scan_time_per_iter(embed_step, x0, consts=(mp, ms))
     extras["ir_se_50_embed_imgs_per_sec"] = round(bs / dt, 1)
 
+    # int8 PTQ serving path (utils/quantize.py): the v5e MXU runs
+    # int8 x int8 -> int32 at 2x the bf16 rate, so this is the embedder's
+    # speed-of-light lane. Guarded: if the int8 conv lowering is
+    # rejected on this backend the bf16 number above still stands.
+    try:
+        from stylegan_for_facerec_tpu.utils import quantize as q
+        # calibrate EAGERLY on the host CPU backend: through the axon
+        # tunnel each eager op is a ~30 ms round trip (CLAUDE.md), so an
+        # on-TPU eager calibration of a 50-layer net would take minutes
+        cpu = jax.devices("cpu")[0]
+        mp32 = jax.device_put(nn.cast_floats(mp, jnp.float32), cpu)
+        ms32 = jax.device_put(nn.cast_floats(ms, jnp.float32), cpu)
+        calib = [jax.device_put(jnp.asarray(
+            np.random.RandomState(7 + i).randn(8, 112, 112, 3) * 0.5,
+            jnp.float32), cpu) for i in range(2)]
+        table = q.calibrate_and_quantize(m, mp32, ms32, calib)
+        lean = q.strip_quantized_weights(mp32, table)
+
+        def embed_int8_step(x, cs):
+            p, s, t = cs
+            e, _ = q.quantized_apply(m, p, s, x.astype(jnp.bfloat16), t)
+            return x + 1e-6 * jnp.mean(e).astype(x.dtype) * jnp.ones_like(x)
+
+        # the calibration trees are COMMITTED to the CPU device; re-commit
+        # to the default (TPU) device before jitting there
+        dev = jax.devices()[0]
+        consts8 = jax.device_put((lean, ms32, table.entries), dev)
+        dt8 = _scan_time_per_iter(embed_int8_step, x0, consts=consts8)
+        extras["ir_se_50_embed_int8_imgs_per_sec"] = round(bs / dt8, 1)
+    except Exception as e:  # noqa: BLE001 — record, never fail the bench
+        extras["ir_se_50_embed_int8_error"] = f"{type(e).__name__}: {e}"[:200]
+
 
 def _bench_inversion(extras, n_iters, bs=128):
     # bs swept on the v5e: 5-iter 403/s @32, 427/s @64, 564/s @128,
@@ -846,7 +878,7 @@ def main():
     # the biggest graph in the repo (>10 min cold TPU compile) and must
     # not start on a nearly-spent budget.
     for name, fn, min_budget in (
-            ("embed", _bench_embed, 240),
+            ("embed", _bench_embed, 300),
             ("inversion5", lambda ex: _bench_inversion(ex, 5), 240),
             ("inversion1", lambda ex: _bench_inversion(ex, 1), 240),
             ("train", _bench_arcface_train, 300),

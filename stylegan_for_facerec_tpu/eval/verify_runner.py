@@ -47,13 +47,48 @@ def _embed_jit(backbone: Layer, tta: bool, ccrop: bool, quantize: bool):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _embed_jit_int8(backbone: Layer, tta: bool, ccrop: bool,
+                    quantize: bool):
+    """Int8-serving twin of ``_embed_jit``: the calibrated table entries
+    ride as a jit ARGUMENT (utils/quantize.py contract)."""
+    from ..utils.quantize import quantized_apply
+
+    @jax.jit
+    def fn(params, state, entries, images):
+        x = ccrop_tta(images, quantize=quantize) if ccrop else images
+        e1, _ = quantized_apply(backbone, params, state, x, entries)
+        if tta:
+            e2, _ = quantized_apply(backbone, params, state, hflip(x),
+                                    entries)
+            e = e1 + e2
+        else:
+            e = e1
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    return fn
+
+
 def make_embed_fn(backbone: Layer, params, state,
                   tta: bool = True, ccrop: bool = True,
-                  quantize: bool = True) -> Callable:
+                  quantize: bool = True, int8_table=None) -> Callable:
     """(B, H, W, 3) [-1,1] -> (B, emb) TTA embedding fn.
 
     tta=True: emb = backbone(ccrop(x)) + backbone(hflip(ccrop(x))), then
-    L2 norm (the sum-then-normalize of ``util/utils.py:276-279``)."""
+    L2 norm (the sum-then-normalize of ``util/utils.py:276-279``).
+
+    int8_table: a ``utils.quantize.Int8Table`` switches the backbone
+    matmuls to the calibrated int8 serving path (2x MXU rate on v5e);
+    pass ``strip_quantized_weights(params, table)`` as ``params`` to
+    also drop the f32 weights from HBM."""
+    if int8_table is not None:
+        try:
+            fn8 = _embed_jit_int8(backbone, tta, ccrop, quantize)
+        except TypeError:
+            fn8 = _embed_jit_int8.__wrapped__(backbone, tta, ccrop,
+                                              quantize)
+        entries = int8_table.entries
+        return lambda images: fn8(params, state, entries, images)
     try:
         fn = _embed_jit(backbone, tta, ccrop, quantize)
     except TypeError:   # unhashable custom Layer: fall back to a fresh jit

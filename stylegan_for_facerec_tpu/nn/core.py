@@ -37,10 +37,12 @@ class Ctx:
     sequence is stable under jit.
     """
 
-    __slots__ = ("train", "_key", "_count", "bn_groups", "shard_fn")
+    __slots__ = ("train", "_key", "_count", "bn_groups", "shard_fn",
+                 "quant")
 
     def __init__(self, train: bool = False, rng: Optional[jax.Array] = None,
-                 bn_groups: Optional[int] = None, shard_fn=None):
+                 bn_groups: Optional[int] = None, shard_fn=None,
+                 quant=None):
         self.train = bool(train)
         self._key = rng
         self._count = 0
@@ -53,6 +55,13 @@ class Ctx:
         # activations so GSPMD partitions the convs (halo exchange)
         # instead of replicating the whole image per device. None = no-op.
         self.shard_fn = shard_fn
+        # optional matmul-interception hook (utils/quantize.py): Conv2d /
+        # Linear delegate their compute to quant.conv2d / quant.linear
+        # when set. Calls are identified by trace-time call ORDER (the
+        # same Python-side-counter idea as make_rng), so calibration,
+        # weight quantization, and int8 serving line up without any
+        # per-layer naming. None = normal f32/bf16 compute.
+        self.quant = quant
 
     def make_rng(self) -> jax.Array:
         if self._key is None:
@@ -70,7 +79,8 @@ class Ctx:
             rng = self.make_rng()
         return Ctx(train=kw.get("train", self.train), rng=rng,
                    bn_groups=kw.get("bn_groups", self.bn_groups),
-                   shard_fn=kw.get("shard_fn", self.shard_fn))
+                   shard_fn=kw.get("shard_fn", self.shard_fn),
+                   quant=kw.get("quant", self.quant))
 
 
 class Layer:

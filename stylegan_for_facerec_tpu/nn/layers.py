@@ -56,6 +56,8 @@ class Linear(Layer):
         return p, {}
 
     def apply(self, params, state, x, ctx):
+        if ctx.quant is not None:
+            return ctx.quant.linear(self, params, x), {}
         # cast params to the activation dtype (as Conv2d does): f32 bias +
         # bf16 activations would silently promote everything downstream
         # to f32, breaking the bf16-compute/f32-params split
@@ -101,6 +103,8 @@ class Conv2d(Layer):
         return p, {}
 
     def apply(self, params, state, x, ctx):
+        if ctx.quant is not None:
+            return ctx.quant.conv2d(self, params, x), {}
         ph, pw = _pair(self.padding)
         y = lax.conv_general_dilated(
             x, params["weight"].astype(x.dtype),

@@ -1,0 +1,134 @@
+"""Int8 post-training quantization (utils/quantize.py): calibration /
+weight quantization / int8 serving must approximate the f32 model
+closely enough for embedding workloads, with zero model changes.
+
+Beyond-reference capability (the reference has no quantized serving);
+the numeric recipe is the standard symmetric per-channel scheme, checked
+here against the framework's own f32 forward as the oracle.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stylegan_for_facerec_tpu import nn
+from stylegan_for_facerec_tpu.models import irse
+from stylegan_for_facerec_tpu.utils import quantize as q
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def _tiny_model():
+    return nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, use_bias=False),
+        nn.BatchNorm2d(16),
+        nn.PReLU(16),
+        nn.Conv2d(16, 32, 3, stride=2, padding=1),
+        nn.PReLU(32),
+        nn.Flatten(),
+        nn.Linear(32 * 8 * 8, 24),
+    )
+
+
+def test_tiny_net_roundtrip(rng):
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    batches = [jnp.asarray(rng.randn(8, 16, 16, 3), jnp.float32)
+               for _ in range(3)]
+    table = q.calibrate_and_quantize(model, params, state, batches)
+    assert len(table.entries) == 3      # 2 convs + 1 linear
+    lean = q.strip_quantized_weights(params, table)
+    # stripped: every quantized weight is a 0-d placeholder, biases kept
+    assert lean["3"]["weight"].shape == ()
+    assert lean["3"]["bias"].shape == (32,)
+
+    x = jnp.asarray(rng.randn(8, 16, 16, 3), jnp.float32)
+    ref, _ = model.apply(params, state, x, nn.Ctx(train=False))
+    fn = jax.jit(lambda p, s, t, xx: q.quantized_apply(model, p, s, xx, t))
+    got, _ = fn(lean, state, table.entries, x)
+    ref, got = np.asarray(ref), np.asarray(got)
+    cos = (ref * got).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 0.998, cos.min()
+    assert np.abs(ref - got).max() / np.abs(ref).max() < 0.1
+
+
+def test_depthwise_and_grouped_conv(rng):
+    model = nn.Sequential(nn.Conv2d(8, 8, 3, padding=1, groups=8),
+                          nn.Conv2d(8, 16, 1, groups=2))
+    params, state = model.init(jax.random.key(1))
+    # xavier on 1x1 grouped convs gives near-zero weights; widen them so
+    # the comparison is not vacuous
+    params = jax.tree_util.tree_map(lambda a: a * 3.0, params)
+    batches = [jnp.asarray(rng.randn(4, 8, 8, 8), jnp.float32)]
+    table = q.calibrate_and_quantize(model, params, state, batches)
+    x = jnp.asarray(rng.randn(4, 8, 8, 8), jnp.float32)
+    ref, _ = model.apply(params, state, x, nn.Ctx(train=False))
+    got, _ = q.quantized_apply(model, params, state, x, table.entries)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # two stacked int8 ops: bound the error relative to the output RANGE
+    # (elementwise rtol is meaningless near zero crossings)
+    assert np.abs(got - ref).max() < 0.08 * np.abs(ref).max()
+
+
+def test_calibration_inside_jit_raises(rng):
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+
+    def bad(xx):
+        return q.calibrate_and_quantize(model, params, state, [xx])
+
+    with pytest.raises(ValueError, match="OUTSIDE jit"):
+        jax.jit(bad)(x)
+
+
+def test_make_embed_fn_int8_serving_surface(rng):
+    """The RFW-protocol embedding path (ccrop + flip-TTA + L2 norm,
+    eval/verify_runner.make_embed_fn) with int8_table= must track the
+    f32 path closely — this is the function test_rfw/verify_parity
+    drive, so closeness here is closeness in verification accuracy."""
+    from stylegan_for_facerec_tpu.eval.verify_runner import make_embed_fn
+    from stylegan_for_facerec_tpu.models import mobilefacenet
+
+    model = mobilefacenet.MobileFaceNet(embedding_size=128)
+    params, state = model.init(jax.random.key(3))
+    calib = [jnp.asarray(rng.randn(4, 112, 112, 3) * 0.5, jnp.float32)]
+    table = q.calibrate_and_quantize(model, params, state, calib)
+    lean = q.strip_quantized_weights(params, table)
+
+    imgs = jnp.asarray(rng.randn(6, 128, 128, 3) * 0.5, jnp.float32)
+    f32 = make_embed_fn(model, params, state)(imgs)
+    i8 = make_embed_fn(model, lean, state, int8_table=table)(imgs)
+    cos = (np.asarray(f32) * np.asarray(i8)).sum(-1)   # both L2-normed
+    assert cos.min() > 0.97, cos
+
+
+def test_irse50_embedder_int8_close(rng):
+    """IR-SE-50 @112px: int8 embeddings must stay close in angle to the
+    f32 embeddings — the quantity verification accuracy depends on.
+    Random init exercises the real depth (50 bottlenecks, SE blocks,
+    112->7 reductions, 512-d head)."""
+    model = irse.Backbone(input_size=112, num_layers=50, mode="ir_se",
+                          emb_size=512)
+    params, state = model.init(jax.random.key(0))
+    batches = [jnp.asarray(rng.randn(4, 112, 112, 3) * 0.5, jnp.float32)
+               for _ in range(2)]
+    table = q.calibrate_and_quantize(model, params, state, batches)
+    lean = q.strip_quantized_weights(params, table)
+    assert table.nbytes() < 0.27 * sum(
+        a.size * 4 for a in jax.tree_util.tree_leaves(params))
+
+    x = jnp.asarray(rng.randn(4, 112, 112, 3) * 0.5, jnp.float32)
+    ref, _ = model.apply(params, state, x, nn.Ctx(train=False))
+    fn = jax.jit(lambda p, s, t, xx: q.quantized_apply(model, p, s, xx, t))
+    got, _ = fn(lean, state, table.entries, x)
+    ref = np.asarray(ref) / np.linalg.norm(ref, axis=-1, keepdims=True)
+    got = np.asarray(got) / np.linalg.norm(np.asarray(got), axis=-1,
+                                           keepdims=True)
+    cos = (ref * got).sum(-1)
+    assert cos.min() > 0.98, cos
