@@ -120,14 +120,17 @@ def compute_embeddings(embed_fn: Callable, carray: np.ndarray,
 
 def perform_val(backbone: Layer, params, state, carray, issame,
                 batch_size: int = 256, emb_size: int = 512,
-                nrof_folds: int = 10, tta: bool = True, ccrop: bool = True)\
+                nrof_folds: int = 10, tta: bool = True, ccrop: bool = True,
+                int8_table=None)\
         -> Tuple[float, float, Tuple[np.ndarray, np.ndarray]]:
     """Returns (mean accuracy, mean best threshold, (tpr, fpr)) — the
     contract of ``util/utils.py:254-307`` (ROC tensor replaced by raw
-    curves; plotting is the caller's concern)."""
+    curves; plotting is the caller's concern). ``int8_table`` runs the
+    quantized serving path (utils/quantize.py)."""
     from .verification import evaluate
 
-    embed_fn = make_embed_fn(backbone, params, state, tta=tta, ccrop=ccrop)
+    embed_fn = make_embed_fn(backbone, params, state, tta=tta, ccrop=ccrop,
+                             int8_table=int8_table)
     embeddings = compute_embeddings(embed_fn, carray, batch_size, emb_size)
     tpr, fpr, accuracy, best = evaluate(embeddings, issame, nrof_folds)
     return float(accuracy.mean()), float(best.mean()), (tpr, fpr)

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--roc_dir", default=None,
                     help="write per-benchmark ROC curve images here "
                     "(util/utils.py:239-251 gen_plot parity)")
+    ap.add_argument("--int8", action="store_true",
+                    help="ALSO evaluate the int8 PTQ serving path "
+                    "(utils/quantize.py; calibrated on the first "
+                    "benchmark's first images) and print the accuracy "
+                    "delta vs f32")
     args = ap.parse_args()
 
     from stylegan_for_facerec_tpu.eval import load_val_pair, perform_val
@@ -47,6 +52,7 @@ def main():
     if args.roc_dir:
         from stylegan_for_facerec_tpu.utils.logging import MetricLogger
         logger = MetricLogger(log_dir=args.roc_dir)
+    table = lean = None
     for bench in args.benchmarks:
         carray, issame = load_val_pair(os.path.join(args.data_root, bench))
         acc, thr, roc = perform_val(backbone, params, state, carray,
@@ -54,6 +60,30 @@ def main():
                                     emb_size=args.emb_size,
                                     tta=not args.no_tta)
         print(f"{bench}: accuracy {acc:.4f} best_threshold {thr:.3f}")
+        if args.int8:
+            import jax.numpy as jnp
+            import numpy as np
+            from stylegan_for_facerec_tpu.utils import quantize as q
+            if table is None:
+                # calibrate once on real eval images (center-cropped to
+                # the backbone's input, as the embed path will see them)
+                imgs = np.asarray(carray[:32], np.float32)
+                if imgs.shape[1] == 3:
+                    imgs = np.moveaxis(imgs, 1, -1)
+                off = (imgs.shape[1] - 112) // 2
+                if off > 0:
+                    imgs = imgs[:, off:off + 112, off:off + 112]
+                table = q.calibrate_and_quantize(
+                    backbone, params, state,
+                    [jnp.asarray(imgs[i:i + 8]) for i in (0, 8, 16, 24)])
+                lean = q.strip_quantized_weights(params, table)
+            acc8, thr8, _ = perform_val(backbone, lean, state, carray,
+                                        issame, batch_size=args.batch_size,
+                                        emb_size=args.emb_size,
+                                        tta=not args.no_tta,
+                                        int8_table=table)
+            print(f"{bench}: int8 accuracy {acc8:.4f} "
+                  f"(delta {acc8 - acc:+.4f}) best_threshold {thr8:.3f}")
         if logger is not None:
             logger.log_benchmark(0, bench, acc, thr, roc=roc)
 
