@@ -48,3 +48,36 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+def host_busy_factor() -> float:
+    """1-min loadavg per core, floored at 1.0 — slow-tier subprocess
+    tests scale their first-step deadlines by this so a contended host
+    stalls instead of flaking (VERDICT r4 next #8)."""
+    try:
+        load = os.getloadavg()[0]
+    except OSError:  # pragma: no cover — non-POSIX
+        return 1.0
+    cores = os.cpu_count() or 1
+    return max(1.0, min(4.0, load / cores))
+
+
+@pytest.fixture(autouse=True)
+def _slow_tier_exclusive(request):
+    """Machine-wide serialization of slow-tier tests (VERDICT r4 next
+    #8): the round-4 preemption flakes were self-inflicted same-core
+    contention between the slow tier and other jax work. Every
+    ``slow``-marked test takes an exclusive flock on a well-known
+    lockfile, so concurrent pytest sessions (or a concurrent dryrun
+    launched through the same guard) queue up instead of starving each
+    other's XLA:CPU collective rendezvous."""
+    if request.node.get_closest_marker("slow") is None:
+        yield
+        return
+    import fcntl
+    with open("/tmp/sgfr_slow_tier.lock", "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
