@@ -395,8 +395,92 @@ def _bench_embed(extras):
         consts8 = jax.device_put((lean, ms32, table.entries), dev)
         dt8 = _scan_time_per_iter(embed_int8_step, x0, consts=consts8)
         extras["ir_se_50_embed_int8_imgs_per_sec"] = round(bs / dt8, 1)
+
+        # accuracy extra (VERDICT r4 next #5a): int8 embeddings vs the
+        # f32 embeddings on the same batch — the serving claim must not
+        # be throughput-only. Embeddings are L2-normed (the verification
+        # protocol's representation), so mean cosine IS the metric.
+        mp32d, ms32d = jax.device_put((mp32, ms32), dev)
+        x32 = x0.astype(jnp.float32)
+
+        def _l2(e):
+            return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+        e32, _ = jax.jit(
+            lambda p, s, xx: m.apply(p, s, xx, nn.Ctx(train=False)))(
+                mp32d, ms32d, x32)
+        lean8, s8, t8 = consts8
+        e8, _ = jax.jit(
+            lambda p, s, t, xx: q.quantized_apply(m, p, s, xx, t))(
+                lean8, s8, t8, x32)
+        cos = np.asarray(jax.jit(
+            lambda a, b: jnp.mean(jnp.sum(_l2(a) * _l2(b), -1)))(e32, e8))
+        extras["ir_se_50_embed_int8_cosine_vs_f32"] = round(float(cos), 5)
     except Exception as e:  # noqa: BLE001 — record, never fail the bench
         extras["ir_se_50_embed_int8_error"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def _bench_synthesis_int8(extras, bs=128):
+    """int8 synthesis serving (VERDICT r4 next #5b): the modconv hook
+    quantizes the scaled-activation modulated convs (static base weight,
+    ``utils/quantize.py``), so the generator-side serving path gets the
+    MXU's 2x int8 lane too. Measured like the primary synthesis metric
+    (bs 128, random noise); accuracy recorded as PSNR of the int8 render
+    vs the f32 render under const noise."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.models import stylegan2_ada
+    from stylegan_for_facerec_tpu.utils import quantize as q
+
+    g = stylegan2_ada.Generator(img_resolution=256)
+    gp, gs = g.init(jax.random.key(0))   # same init stream as the
+    # primary synthesis phase -> same weight distribution
+    cpu = jax.devices("cpu")[0]
+    gp32 = jax.device_put(nn.cast_floats(gp, jnp.float32), cpu)
+    gs32 = jax.device_put(nn.cast_floats(gs, jnp.float32), cpu)
+    calib = [jax.device_put(jnp.asarray(
+        np.random.RandomState(31 + i).randn(4, 512), jnp.float32), cpu)
+        for i in range(2)]
+    table = q.calibrate_and_quantize(g, gp32, gs32, calib,
+                                     apply_kwargs={"noise_mode": "const"})
+    lean = q.strip_quantized_weights(gp32, table)
+
+    dev = jax.devices()[0]
+    lean_d, gs_d, t_d = jax.device_put(
+        (nn.cast_floats(lean, jnp.bfloat16),
+         nn.cast_floats(gs32, jnp.bfloat16), table.entries), dev)
+    key = jax.random.key(1)
+
+    def synth8_step(z, cs):
+        p, s, t = cs
+        img, _ = q.quantized_apply(g, p, s, z, t,
+                                   ctx_kwargs={"rng": key},
+                                   noise_mode="random")
+        return z + 1e-6 * jnp.mean(img, axis=(1, 2))[:, :3].sum() \
+            * jnp.ones_like(z)
+
+    z0 = jnp.asarray(np.random.RandomState(0).randn(bs, 512), jnp.bfloat16)
+    dt = _scan_time_per_iter(synth8_step, z0, consts=(lean_d, gs_d, t_d))
+    extras["synthesis_int8_imgs_per_sec"] = round(bs / dt, 1)
+
+    # accuracy: PSNR of int8 vs f32 render, same z, const noise (the
+    # deterministic comparison); f32 ref on the small calib batch
+    gp32d, gs32d = jax.device_put((gp32, gs32), dev)
+    z_acc = jax.device_put(calib[0], dev)
+    ref, _ = jax.jit(lambda p, s, zz: g.apply(
+        p, s, zz, nn.Ctx(train=False), noise_mode="const"))(
+            gp32d, gs32d, z_acc)
+    got, _ = jax.jit(lambda p, s, t, zz: q.quantized_apply(
+        g, p, s, zz, t, noise_mode="const"))(
+            jax.device_put(lean, dev), gs32d, t_d, z_acc)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    mse = float(np.mean((ref - got) ** 2))
+    rng_span = float(ref.max() - ref.min())
+    extras["synthesis_int8_psnr_db"] = round(
+        10.0 * np.log10(rng_span ** 2 / max(mse, 1e-12)), 1)
 
 
 def _bench_inversion(extras, n_iters, bs=128):
@@ -713,6 +797,86 @@ def _bench_stage2_coach(extras):
     extras["stage2_coach_batch"] = bs
 
 
+def _bench_stage1_gan(extras):
+    """Stage-1 GAN iteration throughput (VERDICT r4 next #4): one D step
+    + one G step per iteration at 128² (the reference's stage-1 recipe,
+    ``configs/stage_1_config.yaml:14-40``), no lazy regularizers in the
+    timed body (R1/PLP fire every 16/4 steps — the common-case step is
+    what sets epoch time), bf16 compute, f32 params, scan-delta timed."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu.train.stage1 import Stage1Trainer
+    from stylegan_for_facerec_tpu.utils.config import Stage1Config
+
+    bs = int(os.environ.get("BENCH_STAGE1_BATCH", "64"))
+    cfg = Stage1Config(image_size=128, batch_size=bs)
+    trainer = Stage1Trainer(cfg)
+    state = trainer.init(jax.random.key(21))
+    rng = np.random.RandomState(6)
+    reals = jnp.asarray(rng.randn(bs, 128, 128, 3).clip(-1, 1),
+                        jnp.bfloat16)
+    z1 = jnp.asarray(rng.randn(bs, 512), jnp.bfloat16)
+    z2 = jnp.asarray(rng.randn(bs, 512), jnp.bfloat16)
+    key = jax.random.key(22)
+
+    def step(st, cs):
+        reals_c, z1_c, z2_c = cs
+        st, _ = trainer._d_step(st, reals_c, z1_c, key, do_r1=False)
+        st, _ = trainer._g_step(st, z2_c, key, do_plp=False)
+        return st
+
+    dt = _scan_time_per_iter(step, state, short=1, long=4,
+                             consts=(reals, z1, z2))
+    extras["stage1_gan_step_imgs_per_sec"] = round(bs / dt, 1)
+    extras["stage1_gan_batch"] = bs
+
+
+def _bench_e4e_coach(extras):
+    """Stage-2 e4e coach train-step throughput (VERDICT r4 next #4): the
+    encoder step of ``coach_restyle_e4e.py`` — refinement forward+backward
+    with LPIPS + adversarial latent loss against a frozen latent
+    discriminator, Ranger update, n_iters_per_batch=1, bf16 — timed
+    on-device via scan-delta (same pattern as the pSp coach phase)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.losses import LPIPS
+    from stylegan_for_facerec_tpu.train.stage2_e4e import (E4eCoach,
+                                                           E4eConfig)
+
+    bs = int(os.environ.get("BENCH_E4E_BATCH", "128"))
+    lp = LPIPS()
+    lpp, _ = lp.init(jax.random.key(99))
+    cfg = E4eConfig(output_size=256, n_iters_per_batch=1, l2_lambda=1.0,
+                    lpips_lambda=0.8, w_discriminator_lambda=0.1)
+    coach = E4eCoach(
+        cfg, lpips_fn=lambda a, b: lp.apply(lpp, {}, (a, b), nn.Ctx())[0])
+    params, state, opt_state, d_params, _ = coach.init(jax.random.key(23))
+    state = coach.estimate_latent_avg(params, state, jax.random.key(24),
+                                      n_latent=4096)
+    avg_image = coach.make_avg_image(params, state, jax.random.key(25))
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(bs, 112, 112, 3).clip(-1, 1),
+        jnp.float32)
+    rng = jax.random.key(26)
+    trainable = coach._trainable(params)
+
+    def step(carry, cs):
+        tr, st, opt = carry
+        full, xb, avg, dp = cs
+        tr, st, opt, _, _, _, _ = coach._train_step(
+            tr, full, st, opt, xb, xb, avg, rng, dp)
+        return (tr, st, opt)
+
+    dt = _scan_time_per_iter(step, (trainable, state, opt_state),
+                             short=1, long=4,
+                             consts=(params, x, avg_image, d_params))
+    extras["e4e_step_imgs_per_sec"] = round(bs / dt, 1)
+    extras["e4e_step_batch"] = bs
+
+
 def _bench_spatial_synthesis(extras, res=1024, bs=1):
     """Spatially-sharded high-res synthesis (VERDICT r3 next #1): batch-1
     image with the synthesis pyramid's HEIGHT sharded over every local
@@ -885,6 +1049,9 @@ def main():
             ("e2e_train", _bench_e2e_train, 300),
             ("spatial_synthesis", _bench_spatial_synthesis, 300),
             ("stage2_coach", _bench_stage2_coach, 600),
+            ("e4e_step", _bench_e4e_coach, 420),
+            ("stage1_gan", _bench_stage1_gan, 300),
+            ("synthesis_int8", _bench_synthesis_int8, 240),
             ("data_pipeline", _bench_data_pipeline, 120)):
         if budget_left() < min_budget:
             errors[name] = "skipped: bench budget exhausted"

@@ -214,8 +214,16 @@ class SynthesisLayer(Layer):
         x, w = inputs
         styles, _ = self._children()["affine"].apply(params["affine"], {}, w,
                                                      ctx)
-        x = modulated_conv2d(x, params["weight"].astype(x.dtype), styles,
-                             padding=self.kernel_size // 2, demodulate=True)
+        # int8 serving hook (utils/quantize.py): the scaled-activation
+        # modconv has a static base weight, so it quantizes like a conv
+        quant = getattr(ctx.quant, "modconv", None) if ctx.quant else None
+        if quant is not None:
+            x = quant(params, x, styles, padding=self.kernel_size // 2,
+                      demodulate=True)
+        else:
+            x = modulated_conv2d(x, params["weight"].astype(x.dtype),
+                                 styles, padding=self.kernel_size // 2,
+                                 demodulate=True)
         if self.up:
             x = smooth_upsample(x)
 
@@ -261,8 +269,12 @@ class ToRGBLayer(Layer):
         styles, _ = self._children()["affine"].apply(params["affine"], {}, w,
                                                      ctx)
         wg = 1.0 / math.sqrt(self.in_channels * self.kernel_size ** 2)
-        x = modulated_conv2d(x, params["weight"].astype(x.dtype),
-                             styles * wg, demodulate=False)
+        quant = getattr(ctx.quant, "modconv", None) if ctx.quant else None
+        if quant is not None:
+            x = quant(params, x, styles * wg, padding=0, demodulate=False)
+        else:
+            x = modulated_conv2d(x, params["weight"].astype(x.dtype),
+                                 styles * wg, demodulate=False)
         return jnp.clip(x + params["bias"].astype(x.dtype), -256, 256), {}
 
 

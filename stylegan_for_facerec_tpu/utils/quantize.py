@@ -11,11 +11,14 @@ hook that ``nn.Conv2d`` / ``nn.Linear`` delegate their compute to; hook
 calls are identified by trace-time call ORDER (deterministic for the
 static graphs this framework builds — the same Python-side-counter idea
 ``Ctx.make_rng`` uses), so calibration, weight quantization, and int8
-serving line up without naming any layer. Models built from other
-primitives (the StyleGAN equalized convs, EfficientNet's SamePadConv)
-are out of scope for now — the face-recognition zoo (IR/IR-SE, ResNet,
-MobileFaceNet, heads-free embedding path) is all ``nn.Conv2d``/
-``nn.Linear``.
+serving line up without naming any layer. Covered primitives: the
+face-recognition zoo's ``nn.Conv2d``/``nn.Linear`` (IR/IR-SE, ResNet,
+MobileFaceNet, heads-free embedding path) AND the StyleGAN2-ADA
+style-modulated conv (``modconv`` hook — the scaled-activation
+formulation in ``ops/modconv.py`` keeps the base weight static, so the
+synthesis/inversion serving path quantizes too; demodulation stays
+f32). Still out of scope: EfficientNet's SamePadConv and the
+rosinality-family equalized ops.
 
 Scheme: symmetric int8. Weights per-OUTPUT-CHANNEL scales (absmax/127
 over the receptive field), activations per-tensor scales calibrated as
@@ -121,6 +124,45 @@ class _Recorder:
     def linear(self, layer, params, x):
         return self._observe(layer, params, x, "linear", channel_axis=1)
 
+    def modconv(self, params, x, styles, padding: int, demodulate: bool):
+        """Style-modulated conv (``ops/modconv.py`` scaled-activation
+        form): the base HWIO weight is STATIC, so it quantizes exactly
+        like a plain conv; the per-sample style modulation lands on the
+        activation side (x * styles) and is covered by the calibrated
+        per-tensor activation scale. Demodulation coefficients need
+        sum_k weight^2 — recorded once as f32 ``w_sq`` (I, O) so the f32
+        weight itself can still be stripped from the serving tree."""
+        from ..ops.modconv import modulated_conv2d
+
+        x_mod = x * styles[:, None, None, :].astype(x.dtype)
+        if isinstance(x_mod, jax.core.Tracer):
+            raise ValueError(
+                "calibrate_and_quantize must run OUTSIDE jit: the "
+                "recorder stores concrete absmax values at call time")
+        i = self._i
+        self._i += 1
+        absmax = jnp.max(jnp.abs(x_mod)).astype(jnp.float32)
+        if self._first:
+            w = params["weight"].astype(jnp.float32)
+            wq, w_scale = _quantize_weight(w, channel_axis=3)
+            entry = {"w": wq, "w_scale": w_scale, "x_absmax": absmax}
+            if demodulate:
+                entry["w_sq"] = jnp.sum(jnp.square(w), axis=(0, 1))
+            self.entries.append(entry)
+            self.kinds.append("modconv")
+            self.weight_ids.add(id(params["weight"]))
+        else:
+            if i >= len(self.entries) or self.kinds[i] != "modconv":
+                raise ValueError(
+                    f"call order diverged between calibration batches at "
+                    f"call {i} (modconv); the model's conv/linear call "
+                    f"sequence must be static")
+            e = self.entries[i]
+            e["x_absmax"] = jnp.maximum(e["x_absmax"], absmax)
+        return modulated_conv2d(x, params["weight"].astype(x.dtype),
+                                styles, padding=padding,
+                                demodulate=demodulate)
+
 
 class Int8Apply:
     """Serving hook: per call i, quantize the activation with the
@@ -167,6 +209,25 @@ class Int8Apply:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
 
+    def modconv(self, params, x, styles, padding: int, demodulate: bool):
+        """int8 modulated conv: quantize the style-modulated activations
+        with the calibrated static scale, conv against the static int8
+        base weight, rescale, then demodulate in f32 (same eps placement
+        as ``ops/modconv.py``)."""
+        e = self._take("modconv")
+        x_mod = x * styles[:, None, None, :].astype(x.dtype)
+        xq, x_scale = _quantize_act(x_mod, e["x_absmax"])
+        y = lax.conv_general_dilated(
+            xq, e["w"], (1, 1), [(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (x_scale * e["w_scale"])
+        if demodulate:
+            ssq = jnp.square(styles.astype(jnp.float32))
+            dcoefs = lax.rsqrt(ssq @ e["w_sq"] + 1e-8)
+            y = y * dcoefs[:, None, None, :]
+        return y.astype(x.dtype)
+
 
 @dataclasses.dataclass
 class Int8Table:
@@ -182,17 +243,21 @@ class Int8Table:
 
 
 def calibrate_and_quantize(layer, params, state, batches,
-                           ctx_kwargs: Optional[dict] = None) -> Int8Table:
+                           ctx_kwargs: Optional[dict] = None,
+                           apply_kwargs: Optional[dict] = None) -> Int8Table:
     """Run eager forwards over ``batches`` (an iterable of model inputs),
     recording per-call activation absmax and per-output-channel int8
     weights. More/wider calibration batches -> tighter activation
-    ranges; the running-max rule means order does not matter."""
+    ranges; the running-max rule means order does not matter.
+    ``apply_kwargs`` forwards extra apply arguments (e.g. the generator's
+    ``noise_mode='const'`` so calibration and serving see the same
+    noise)."""
     rec = _Recorder()
     n = 0
     for x in batches:
         rec.begin_batch()
         ctx = Ctx(train=False, quant=rec, **(ctx_kwargs or {}))
-        layer.apply(params, state, x, ctx)
+        layer.apply(params, state, x, ctx, **(apply_kwargs or {}))
         n += 1
     if n == 0 or not rec.entries:
         raise ValueError("calibration needs >=1 batch and a model with "
@@ -214,9 +279,11 @@ def strip_quantized_weights(params, table: Int8Table):
     return walk(params)
 
 
-def quantized_apply(layer, params, state, x, entries, **ctx_kwargs):
+def quantized_apply(layer, params, state, x, entries,
+                    ctx_kwargs: Optional[dict] = None, **apply_kwargs):
     """Jittable int8 forward: ``entries`` must be ``table.entries``
     passed as an argument (fresh hook per trace, so the call counter
-    always starts at 0)."""
-    ctx = Ctx(train=False, quant=Int8Apply(entries), **ctx_kwargs)
-    return layer.apply(params, state, x, ctx)
+    always starts at 0). ``**apply_kwargs`` forwards to ``layer.apply``
+    (e.g. ``noise_mode='const'`` for generators)."""
+    ctx = Ctx(train=False, quant=Int8Apply(entries), **(ctx_kwargs or {}))
+    return layer.apply(params, state, x, ctx, **apply_kwargs)

@@ -108,6 +108,38 @@ def test_make_embed_fn_int8_serving_surface(rng):
     assert cos.min() > 0.97, cos
 
 
+def test_generator_synthesis_int8_close(rng):
+    """StyleGAN2-ADA synthesis under the modconv int8 hook (VERDICT r4
+    next #5b): the scaled-activation modconv's base weight is static, so
+    the synthesis/inversion SERVING path quantizes too. Images must stay
+    close to the f32 render; demodulation stays f32 via the recorded
+    ``w_sq``."""
+    from stylegan_for_facerec_tpu.models import stylegan2_ada
+
+    g = stylegan2_ada.Generator(img_resolution=32)
+    gp, gs = g.init(jax.random.key(5))
+    zs = [jnp.asarray(rng.randn(4, 512), jnp.float32) for _ in range(2)]
+    table = q.calibrate_and_quantize(g, gp, gs, zs,
+                                     apply_kwargs={"noise_mode": "const"})
+    # prologue conv1+torgb, then (conv0, conv1, torgb) x {8, 16, 32}
+    assert len(table.entries) == 11
+    # demodulated convs carry w_sq for the f32 demod; torgb (1x1,
+    # demodulate=False) does not
+    assert sum("w_sq" in e for e in table.entries) == 7
+    lean = q.strip_quantized_weights(gp, table)
+
+    z = jnp.asarray(rng.randn(4, 512), jnp.float32)
+    ref, _ = g.apply(gp, gs, z, nn.Ctx(train=False), noise_mode="const")
+    fn = jax.jit(lambda p, s, t, zz: q.quantized_apply(
+        g, p, s, zz, t, noise_mode="const"))
+    got, _ = fn(lean, gs, table.entries, z)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # image-space closeness relative to the output range (11 stacked
+    # int8 convs; elementwise rtol is meaningless near zero crossings)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 0.15, err
+
+
 def test_irse50_embedder_int8_close(rng):
     """IR-SE-50 @112px: int8 embeddings must stay close in angle to the
     f32 embeddings — the quantity verification accuracy depends on.
