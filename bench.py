@@ -226,38 +226,54 @@ def _log(msg):
 
 
 def _scan_time_per_iter(make_step, carry_init, short=2, long=12,
-                        consts=None):
+                        consts=None, repeats=1):
     """Device seconds per iteration of make_step, measured as
     (T(long) - T(short)) / (long - short) with one scalar sync each.
 
     ``consts`` (e.g. model params) are passed as explicit jit ARGUMENTS:
     closing over large arrays embeds them as literals in the serialized
     module, and the axon remote-compile helper rejects bodies past ~100MB
-    with HTTP 413 (encoder+generator param trees together exceed it)."""
+    with HTTP 413 (encoder+generator param trees together exceed it).
+
+    ``repeats``: take the MEDIAN of N independent (T(long), T(short))
+    delta pairs. Each T includes one tunnel dispatch whose
+    argument-marshalling jitter is tens of ms; when the true delta is
+    small (fast steps x few iterations) a single pair can swing the
+    answer by tens of percent — the round-4 inversion_1iter artifact
+    read 4181 imgs/s vs 2763 on a median-of-3 re-measure (VERIFIED.md
+    2026-08-20). Compiles are cached, so extra repeats cost only
+    dispatch time."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
+    runners = {}
+
     def runner(n):
-        @jax.jit
-        def run(carry, cs):
-            def body(c, _):
-                return make_step(c, cs), ()
-            c, _ = jax.lax.scan(body, carry, None, length=n)
-            leaf = jax.tree_util.tree_leaves(c)[0]
-            return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
-        _log(f"  scan(n={n}): compiling...")
-        r = run(carry_init, consts)
-        _ = np.asarray(r)        # compile + sync
-        _log(f"  scan(n={n}): compiled; timing")
+        if n not in runners:
+            @jax.jit
+            def run(carry, cs):
+                def body(c, _):
+                    return make_step(c, cs), ()
+                c, _ = jax.lax.scan(body, carry, None, length=n)
+                leaf = jax.tree_util.tree_leaves(c)[0]
+                return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
+            _log(f"  scan(n={n}): compiling...")
+            r = run(carry_init, consts)
+            _ = np.asarray(r)        # compile + sync
+            _log(f"  scan(n={n}): compiled; timing")
+            runners[n] = run
         t0 = time.perf_counter()
-        r = run(carry_init, consts)
+        r = runners[n](carry_init, consts)
         _ = np.asarray(r)
         return time.perf_counter() - t0
 
-    t_short = runner(short)
-    t_long = runner(long)
-    return max((t_long - t_short) / (long - short), 1e-9)
+    deltas = []
+    for _ in range(max(1, repeats)):
+        t_short = runner(short)
+        t_long = runner(long)
+        deltas.append((t_long - t_short) / (long - short))
+    return max(float(np.median(deltas)), 1e-9)
 
 
 def _warm_up_device(max_attempts=4, delay_s=10.0):
@@ -363,7 +379,7 @@ def _bench_embed(extras):
 
     x0 = jnp.asarray(np.random.RandomState(1).randn(bs, 112, 112, 3),
                      jnp.bfloat16)
-    dt = _scan_time_per_iter(embed_step, x0, consts=(mp, ms))
+    dt = _scan_time_per_iter(embed_step, x0, consts=(mp, ms), repeats=3)
     extras["ir_se_50_embed_imgs_per_sec"] = round(bs / dt, 1)
 
     # int8 PTQ serving path (utils/quantize.py): the v5e MXU runs
@@ -393,7 +409,8 @@ def _bench_embed(extras):
         # to the default (TPU) device before jitting there
         dev = jax.devices()[0]
         consts8 = jax.device_put((lean, ms32, table.entries), dev)
-        dt8 = _scan_time_per_iter(embed_int8_step, x0, consts=consts8)
+        dt8 = _scan_time_per_iter(embed_int8_step, x0, consts=consts8,
+                                  repeats=3)
         extras["ir_se_50_embed_int8_imgs_per_sec"] = round(bs / dt8, 1)
 
         # accuracy extra (VERDICT r4 next #5a): int8 embeddings vs the
@@ -462,7 +479,8 @@ def _bench_synthesis_int8(extras, bs=128):
             * jnp.ones_like(z)
 
     z0 = jnp.asarray(np.random.RandomState(0).randn(bs, 512), jnp.bfloat16)
-    dt = _scan_time_per_iter(synth8_step, z0, consts=(lean_d, gs_d, t_d))
+    dt = _scan_time_per_iter(synth8_step, z0, consts=(lean_d, gs_d, t_d),
+                             repeats=3)
     extras["synthesis_int8_imgs_per_sec"] = round(bs / dt, 1)
 
     # accuracy: PSNR of int8 vs f32 render, same z, const noise (the
@@ -511,8 +529,11 @@ def _bench_inversion(extras, n_iters, bs=128):
 
     x0 = jnp.asarray(np.random.RandomState(2).randn(bs, 112, 112, 3),
                      jnp.bfloat16)
+    # median-of-3: the 1-iter delta (~140ms) sits close to the tunnel's
+    # dispatch jitter — a single pair swung r04's artifact to 4181
+    # imgs/s vs 2763 on re-measure (VERIFIED.md 2026-08-20)
     dt = _scan_time_per_iter(inv_step, x0, short=1, long=5,
-                             consts=(pp, ps))
+                             consts=(pp, ps), repeats=3)
     key = f"inversion_{n_iters}iter_imgs_per_sec"
     extras[key] = round(bs / dt, 1)
     extras[key + "_vs_baseline"] = round((bs / dt) / PER_CHIP_TARGET, 3)
@@ -525,6 +546,57 @@ def _bench_inversion(extras, n_iters, bs=128):
         extras["peak_ratio_this_chip_to_v5p"] = round(ratio, 4)
         extras[key + "_peak_normalized_vs_baseline"] = round(
             (bs / dt) / PER_CHIP_TARGET / ratio, 3)
+
+
+def _bench_inversion_int8(extras, n_iters=5, bs=128):
+    """int8 ReStyle inversion serving: the whole refinement loop —
+    encoder convs/linears AND decoder modconvs — on the MXU int8 lane
+    via one calibrated table (VERDICT r4 next #3: the per-iteration
+    chain is already at its bf16 component roofline — profiled
+    2026-08-20, 5-iter == 5 x 1-iter to within 1 ms — so the absolute
+    lift comes from the serving precision, like the embedder's)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stylegan_for_facerec_tpu import nn
+    from stylegan_for_facerec_tpu.eval.inference import run_on_batch
+    from stylegan_for_facerec_tpu.models.psp import PSp
+    from stylegan_for_facerec_tpu.utils import quantize as q
+
+    model = PSp(output_size=256, input_size=112)
+    pp, ps = model.init(jax.random.key(3))
+
+    cpu = jax.devices("cpu")[0]
+    pp32 = jax.device_put(nn.cast_floats(pp, jnp.float32), cpu)
+    ps32 = jax.device_put(nn.cast_floats(ps, jnp.float32), cpu)
+    avg32 = jax.device_put(jnp.zeros((112, 112, 3), jnp.float32), cpu)
+    calib = [jax.device_put(jnp.asarray(
+        np.random.RandomState(41).randn(2, 112, 112, 3), jnp.float32),
+        cpu)]
+    table = q.calibrate_with(
+        lambda x, hook: run_on_batch(model, pp32, ps32, x, avg32,
+                                     n_iters, quant=hook), calib)
+    lean = q.strip_quantized_weights(pp32, table)
+
+    dev = jax.devices()[0]
+    lean_d, ps_d, t_d = jax.device_put(
+        (nn.cast_floats(lean, jnp.bfloat16),
+         nn.cast_floats(ps32, jnp.bfloat16), table.entries), dev)
+    avg_image = jnp.zeros((112, 112, 3), jnp.bfloat16)
+
+    def inv8_step(x, cs):
+        p, s, t = cs
+        outs, _ = run_on_batch(model, p, s, x, avg_image, n_iters,
+                               quant=q.Int8Apply(t))
+        return x + 1e-6 * jnp.mean(outs).astype(x.dtype) * jnp.ones_like(x)
+
+    x0 = jnp.asarray(np.random.RandomState(2).randn(bs, 112, 112, 3),
+                     jnp.bfloat16)
+    dt = _scan_time_per_iter(inv8_step, x0, short=1, long=5,
+                             consts=(lean_d, ps_d, t_d), repeats=3)
+    key = f"inversion_{n_iters}iter_int8_imgs_per_sec"
+    extras[key] = round(bs / dt, 1)
+    extras[key + "_vs_baseline"] = round((bs / dt) / PER_CHIP_TARGET, 3)
 
 
 def _peak_ratio_vs_v5p(device_str: str) -> float:
@@ -826,8 +898,11 @@ def _bench_stage1_gan(extras):
         st, _ = trainer._g_step(st, z2_c, key, do_plp=False)
         return st
 
-    dt = _scan_time_per_iter(step, state, short=1, long=4,
-                             consts=(reals, z1, z2))
+    # the G+D state tree is hundreds of arrays -> seconds of dispatch
+    # marshalling jitter per call; a long scan + median keeps the delta
+    # well above it (first measurement read an impossible 84k imgs/s)
+    dt = _scan_time_per_iter(step, state, short=2, long=20,
+                             consts=(reals, z1, z2), repeats=3)
     extras["stage1_gan_step_imgs_per_sec"] = round(bs / dt, 1)
     extras["stage1_gan_batch"] = bs
 
@@ -1045,6 +1120,7 @@ def main():
             ("embed", _bench_embed, 300),
             ("inversion5", lambda ex: _bench_inversion(ex, 5), 240),
             ("inversion1", lambda ex: _bench_inversion(ex, 1), 240),
+            ("inversion5_int8", _bench_inversion_int8, 300),
             ("train", _bench_arcface_train, 300),
             ("e2e_train", _bench_e2e_train, 300),
             ("spatial_synthesis", _bench_spatial_synthesis, 300),

@@ -29,12 +29,17 @@ from ..ops.image import hflip, resize_bilinear
 
 
 def run_on_batch(model, params, state, inputs: jax.Array, avg_image,
-                 n_iters: int, resize_outputs: bool = True):
+                 n_iters: int, resize_outputs: bool = True, quant=None):
     """inputs: (B, H, W, 3) [-1,1]; returns (outputs per iter, latents per
-    iter) with shapes (iters, B, ...)."""
+    iter) with shapes (iters, B, ...).
+
+    ``quant``: optional ``nn.Ctx.quant`` hook (``utils/quantize.py``) —
+    an ``Int8Apply(entries)`` built fresh per trace serves the whole
+    refinement loop (encoder convs/linears + decoder modconvs) on the
+    MXU's int8 lane; a ``_Recorder`` calibrates it (run eagerly)."""
     y_hat, latent = None, None
     outs, lats = [], []
-    ctx = Ctx(train=False)
+    ctx = Ctx(train=False, quant=quant)
     for it in range(n_iters):
         cond = jnp.broadcast_to(avg_image[None], inputs.shape) if it == 0 \
             else y_hat

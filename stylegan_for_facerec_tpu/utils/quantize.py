@@ -265,6 +265,24 @@ def calibrate_and_quantize(layer, params, state, batches,
     return Int8Table(entries=rec.entries, weight_ids=rec.weight_ids)
 
 
+def calibrate_with(forward, batches) -> Int8Table:
+    """Generic calibration for model surfaces that are not a single
+    ``layer.apply`` — e.g. the iterative-refinement inversion loop
+    (``eval/inference.run_on_batch``), whose 5 iterations each issue
+    their own hooked calls. ``forward(x, hook)`` must run the full
+    (eager) computation with ``hook`` installed as ``Ctx.quant`` in
+    every model invocation."""
+    rec = _Recorder()
+    n = 0
+    for x in batches:
+        rec.begin_batch()
+        forward(x, rec)
+        n += 1
+    if n == 0 or not rec.entries:
+        raise ValueError("calibration needs >=1 batch and >=1 hooked call")
+    return Int8Table(entries=rec.entries, weight_ids=rec.weight_ids)
+
+
 def strip_quantized_weights(params, table: Int8Table):
     """Return a copy of ``params`` with every quantized f32 weight
     replaced by a 0-d int8 placeholder (the serving hook never reads

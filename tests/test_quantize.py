@@ -140,6 +140,46 @@ def test_generator_synthesis_int8_close(rng):
     assert err < 0.15, err
 
 
+def test_inversion_int8_pipeline(rng):
+    """Whole-loop int8 inversion serving (run_on_batch quant= +
+    calibrate_with): encoder convs/linears and decoder modconvs share
+    one calibrated table across the refinement iterations; the jitted
+    int8 loop must track the f32 loop."""
+    from stylegan_for_facerec_tpu.eval.inference import run_on_batch
+    from stylegan_for_facerec_tpu.models.psp import PSp
+
+    model = PSp(output_size=16, input_size=16)
+    pp, ps = model.init(jax.random.key(7))
+    avg = jnp.zeros((16, 16, 3), jnp.float32)
+    calib = [jnp.asarray(rng.randn(2, 16, 16, 3).clip(-1, 1), jnp.float32)]
+    table = q.calibrate_with(
+        lambda x, hook: run_on_batch(model, pp, ps, x, avg, 2,
+                                     quant=hook), calib)
+    # encoder conv2d/linear calls AND decoder modconv calls, twice (one
+    # entry per call per refinement iteration)
+    assert len(table.entries) > 20
+    lean = q.strip_quantized_weights(pp, table)
+
+    x = jnp.asarray(rng.randn(3, 16, 16, 3).clip(-1, 1), jnp.float32)
+    ref_outs, ref_lats = run_on_batch(model, pp, ps, x, avg, 2)
+    fn = jax.jit(lambda p, s, t, xx: run_on_batch(
+        model, p, s, xx, avg, 2, quant=q.Int8Apply(t)))
+    got_outs, got_lats = fn(lean, ps, table.entries, x)
+    assert got_outs.shape == ref_outs.shape
+    ref_o, got_o = np.asarray(ref_outs), np.asarray(got_outs)
+    assert np.isfinite(got_o).all()
+    # refinement feedback compounds the quantization error across the 2
+    # iterations; bound it relative to the f32 output range
+    err = np.abs(got_o - ref_o).max() / max(np.abs(ref_o).max(), 1e-6)
+    assert err < 0.35, err
+    # latents (the quantity inversion consumers read) stay well aligned
+    rl = np.asarray(ref_lats).reshape(-1, 512)
+    gl = np.asarray(got_lats).reshape(-1, 512)
+    cos = (rl * gl).sum(-1) / (np.linalg.norm(rl, axis=-1)
+                               * np.linalg.norm(gl, axis=-1) + 1e-9)
+    assert cos.min() > 0.97, cos.min()
+
+
 def test_irse50_embedder_int8_close(rng):
     """IR-SE-50 @112px: int8 embeddings must stay close in angle to the
     f32 embeddings — the quantity verification accuracy depends on.

@@ -226,8 +226,7 @@ def main():
     from train_reference_baseline import (make_identity_images,
                                           write_pairs_npz)
     rng = np.random.RandomState(args.seed + 4)
-    imgs = make_identity_images(rng, args.n_ids, 6)
-    labels = np.repeat(np.arange(args.n_ids), 6)
+    imgs, labels = make_identity_images(rng, args.n_ids, 6)
     write_pairs_npz(os.path.join(args.out, "synth.npz"), rng, imgs,
                     labels, args.n_ids, args.n_pairs, args.n_pairs)
     print("done; now run tools/verify_parity.py --backbone pSp "
