@@ -256,8 +256,17 @@ def _scan_time_per_iter(make_step, carry_init, short=2, long=12,
                 def body(c, _):
                     return make_step(c, cs), ()
                 c, _ = jax.lax.scan(body, carry, None, length=n)
-                leaf = jax.tree_util.tree_leaves(c)[0]
-                return jnp.float32(jnp.real(leaf.reshape(-1)[0]))
+                # Sync through EVERY carry leaf: reducing only leaf 0 lets
+                # XLA dead-code-eliminate any work outside that leaf's
+                # dependency cone (stage-1's first leaf is the scalar
+                # ada_p, untouched by the common-case step — the whole
+                # G+D backward was DCE'd and the phase read 1.5M imgs/s).
+                # One element per leaf keeps the sync O(n_leaves) scalars
+                # while making each updated array's producer live.
+                acc = jnp.float32(0.0)
+                for leaf in jax.tree_util.tree_leaves(c):
+                    acc += jnp.float32(jnp.real(jnp.ravel(leaf)[0]))
+                return acc
             _log(f"  scan(n={n}): compiling...")
             r = run(carry_init, consts)
             _ = np.asarray(r)        # compile + sync
