@@ -1125,18 +1125,23 @@ def main():
     # a compile-time estimate: stage-2's encoder+generator backward is
     # the biggest graph in the repo (>10 min cold TPU compile) and must
     # not start on a nearly-spent budget.
+    # Order = skip-priority under a cold budget: the int8 serving phases
+    # and the stage1/e4e trainer phases are this round's contract extras
+    # and run BEFORE the two giant coach compiles (stage-2/e4e backward
+    # graphs are the likeliest budget-busters cold); data_pipeline is the
+    # cheapest and least load-bearing, so it absorbs the residual.
     for name, fn, min_budget in (
             ("embed", _bench_embed, 300),
             ("inversion5", lambda ex: _bench_inversion(ex, 5), 240),
             ("inversion1", lambda ex: _bench_inversion(ex, 1), 240),
             ("inversion5_int8", _bench_inversion_int8, 300),
+            ("synthesis_int8", _bench_synthesis_int8, 240),
+            ("stage1_gan", _bench_stage1_gan, 300),
             ("train", _bench_arcface_train, 300),
             ("e2e_train", _bench_e2e_train, 300),
             ("spatial_synthesis", _bench_spatial_synthesis, 300),
             ("stage2_coach", _bench_stage2_coach, 600),
             ("e4e_step", _bench_e4e_coach, 420),
-            ("stage1_gan", _bench_stage1_gan, 300),
-            ("synthesis_int8", _bench_synthesis_int8, 240),
             ("data_pipeline", _bench_data_pipeline, 120)):
         if budget_left() < min_budget:
             errors[name] = "skipped: bench budget exhausted"
