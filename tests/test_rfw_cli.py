@@ -24,11 +24,24 @@ def test_rfw_cli_int8_delta(tmp_path):
     save_checkpoint(str(tmp_path / "ckpt"),
                     {"params": params, "state": state})
 
+    # Separable pairs: same-pairs are near-duplicate images (any network,
+    # random-init included, maps them to near-identical embeddings), diff
+    # pairs are independent noise. Fully random pairs put EVERY pair at
+    # the decision boundary, where a one-pair flip under int8 rounding
+    # equals the full 1/n_pairs accuracy granularity (observed: delta
+    # exactly -0.1 on coin-flip baselines, 2026-08-20 slow-tier run).
     rng = np.random.RandomState(0)
     n_pairs = 16
-    images = (rng.rand(2 * n_pairs, 128, 128, 3).astype(np.float32)
-              * 2 - 1)
     issame = rng.rand(n_pairs) > 0.5
+    images = np.empty((2 * n_pairs, 128, 128, 3), np.float32)
+    for i in range(n_pairs):
+        a = rng.rand(128, 128, 3).astype(np.float32) * 2 - 1
+        if issame[i]:
+            b = np.clip(a + 0.02 * rng.randn(128, 128, 3), -1, 1)
+        else:
+            b = rng.rand(128, 128, 3).astype(np.float32) * 2 - 1
+        images[2 * i] = a
+        images[2 * i + 1] = b
     np.savez(tmp_path / "synth.npz", images=images, issame=issame)
 
     env = dict(os.environ)
@@ -49,6 +62,8 @@ def test_rfw_cli_int8_delta(tmp_path):
     m8 = re.search(r"synth: int8 accuracy (\d\.\d+) \(delta ([+-]\d\.\d+)\)",
                    proc.stdout)
     assert m and m8, proc.stdout[-2000:]
-    # int8 embeddings sit at cos ~0.999 of f32 (test_quantize), so the
-    # 10-fold accuracy on the same pairs may move only marginally
+    # separable pairs: even a random-init embedder scores high, so both
+    # precisions sit far from the fold thresholds and the int8 delta
+    # (cos ~0.999 per embedding, test_quantize) cannot flip pairs
+    assert float(m.group(1)) > 0.7, proc.stdout[-2000:]
     assert abs(float(m8.group(2))) < 0.1, proc.stdout[-2000:]
